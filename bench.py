@@ -1,0 +1,106 @@
+"""Benchmark harness (the reference's sample_benchmark analogue,
+/root/reference/samples/sample_benchmark.cpp:39-142).
+
+Prints ONE JSON line with the headline metric:
+  detectAndCompute of 40k keypoints on a 4K image, BAD-256, milliseconds,
+  vs_baseline = reference RTX 3060 Ti time (7.2 ms, README.md:68-70) / ours.
+
+Detailed per-config results (detect-only FHD/4K/8K, compute-only 40k for all
+four descriptors, detectAndCompute) go to BENCH_DETAIL.json and stderr.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_bench_image(h, w, seed=0):
+    """Corner-rich synthetic scene (stand-in for SceauxCastle photos)."""
+    rng = np.random.default_rng(seed)
+    img = np.zeros((h, w), np.float64)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img += 60 + 60 * (xx / w) + 40 * np.sin(yy / 57.0)
+    for _ in range(600):
+        x0 = rng.integers(0, w - 8)
+        y0 = rng.integers(0, h - 8)
+        bw = int(rng.integers(6, w // 12))
+        bh = int(rng.integers(6, h // 12))
+        img[y0:y0 + bh, x0:x0 + bw] += float(rng.uniform(-90, 90))
+    img += rng.normal(0, 3, (h, w))
+    img -= img.min()
+    img *= 255.0 / max(img.max(), 1e-9)
+    return img.astype(np.uint8)
+
+
+def perf_ms(fn, iters=20, warmup=2):
+    import jax
+    for _ in range(warmup):
+        jax.block_until_ready(fn())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) * 1e3 / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from efficient_features_tpu import pipeline as P
+
+    detail = {"backend": jax.default_backend(),
+              "device": str(jax.devices()[0])}
+
+    sizes = {"fhd": (1080, 1920), "4k": (2160, 3840), "8k": (4320, 7680)}
+    images = {k: jnp.asarray(make_bench_image(*hw)) for k, hw in sizes.items()}
+
+    # detect-only (10k keypoints, reference README.md:52-55 protocol)
+    det_cfg = P.FeatureConfig(nfeatures=10000, descriptor_type="bad_256")
+    baselines_detect = {"fhd": 1.6, "4k": 2.9, "8k": 5.5}
+    for k, img in images.items():
+        ms = perf_ms(lambda img=img: P.detect_jit(img, det_cfg))
+        detail[f"detect_{k}_ms"] = round(ms, 3)
+        detail[f"detect_{k}_vs_rtx3060ti"] = round(baselines_detect[k] / ms, 3)
+
+    # compute-only: 40k fixed keypoints on the 4k image (README.md:58-63)
+    img4k = images["4k"]
+    h, w = sizes["4k"]
+    rng = np.random.default_rng(1)
+    n = 40000
+    kps = np.zeros((n, 4), np.float32)
+    kps[:, 0] = rng.uniform(20, w - 20, n)
+    kps[:, 1] = rng.uniform(20, h - 20, n)
+    kps[:, 2] = 31.0
+    kps[:, 3] = rng.uniform(0, 360, n)
+    kps_j = jnp.asarray(kps)
+    valid = jnp.ones(n, bool)
+    baselines_compute = {("bad", 256): 1.5, ("bad", 512): 2.7,
+                         ("hash_sift", 256): 3.5, ("hash_sift", 512): 3.9}
+    for (kind, bits), base in baselines_compute.items():
+        ms = perf_ms(lambda kind=kind, bits=bits:
+                     P.compute_jit(img4k, kps_j, valid, bits, kind, 1.0))
+        detail[f"compute40k_{kind}{bits}_ms"] = round(ms, 3)
+        detail[f"compute40k_{kind}{bits}_vs_rtx3060ti"] = round(base / ms, 3)
+
+    # headline: detectAndCompute, 40k keypoints, 4K, BAD-256 (README.md:66-70)
+    dac_cfg = P.FeatureConfig(nfeatures=40000, descriptor_type="bad_256")
+    ms = perf_ms(lambda: P.detect_and_compute_jit(img4k, dac_cfg), iters=10)
+    detail["detect_and_compute_4k_40k_bad256_ms"] = round(ms, 3)
+    baseline_ms = 7.2
+    vs = baseline_ms / ms
+
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump(detail, f, indent=2)
+    print(json.dumps(detail, indent=2), file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "detect_and_compute_4k_40k_bad256_ms",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,298 @@
+"""Public API: EfficientFeatures / BAD / HashSIFT.
+
+Mirrors the reference's cv::Feature2D-shaped surface
+(cuda_efficient_features.h:28-98, cuda_efficient_descriptors.h:27-121):
+  detect / compute / detect_and_compute + *_async variants, convert,
+  and the seven parameter getter/setter pairs.
+
+Async semantics, TPU-style: JAX dispatch is asynchronous — the *_async methods
+return device-resident results immediately (the analogue of enqueueing on a
+CUDA stream) and `.block()` / host conversion forces completion (the analogue
+of Stream::waitForCompletion).  Buffers are fixed-shape, so repeated calls at
+the same image size reuse the compiled executable and allocations (the role of
+the reference's DeviceBuffer grow-only allocator, device_buffer.cpp).
+
+Keypoints are fixed-capacity slot arrays with a validity mask; `KeyPoints`
+wraps them and compacts lazily on host access.
+"""
+from __future__ import annotations
+
+import warnings
+from dataclasses import replace
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import pipeline as P
+from .utils import semantics as S
+
+_PAD = 256  # keypoint-count padding granularity for standalone compute()
+
+
+class KeyPoints:
+    """Device-resident keypoint set (fixed-capacity slots + validity mask).
+
+    Fields mirror the reference's 5-row SoA layout
+    (cuda_efficient_features.h:32-37) plus octave/size.
+    """
+
+    def __init__(self, slots: dict):
+        self._slots = slots
+        self._host = None
+
+    def block(self) -> "KeyPoints":
+        jax.block_until_ready(self._slots)
+        return self
+
+    @property
+    def capacity(self) -> int:
+        return int(self._slots["x"].shape[0])
+
+    @property
+    def count(self) -> int:
+        return int(self._slots["count"])
+
+    def _compact(self):
+        if self._host is None:
+            h = {k: np.asarray(v) for k, v in self._slots.items() if k != "count"}
+            m = h.pop("valid")
+            self._host = {k: v[m] for k, v in h.items()}
+        return self._host
+
+    def as_arrays(self):
+        """Compacted host arrays: dict(x, y, response, angle, octave, size)."""
+        return dict(self._compact())
+
+    def xysa(self) -> np.ndarray:
+        """(N, 4) float32 [x, y, size, angle] — descriptor-input layout
+        (convertKeypoints, cuda_efficient_features.cu:250-263)."""
+        h = self._compact()
+        return np.stack([h["x"], h["y"], h["size"], h["angle"]],
+                        axis=1).astype(np.float32)
+
+    def cv_keypoints(self):
+        """Convert to a list of cv2.KeyPoint (requires cv2)."""
+        import cv2
+        h = self._compact()
+        return [cv2.KeyPoint(float(x), float(y), float(sz), float(a),
+                             float(r), int(o))
+                for x, y, sz, a, r, o in zip(h["x"], h["y"], h["size"],
+                                             h["angle"], h["response"],
+                                             h["octave"])]
+
+    def __len__(self):
+        return self.count
+
+
+def _as_u8_image(image) -> jax.Array:
+    img = jnp.asarray(image)
+    if img.dtype != jnp.uint8 or img.ndim != 2:
+        raise ValueError("image must be a 2-D uint8 (grayscale) array")
+    return img
+
+
+def _keypoints_to_xysa(keypoints) -> np.ndarray:
+    """Accept KeyPoints, (N,4) array, or a list of cv2.KeyPoint-likes."""
+    if isinstance(keypoints, KeyPoints):
+        return keypoints.xysa()
+    if isinstance(keypoints, (list, tuple)):
+        return np.array([[k.pt[0], k.pt[1], k.size, k.angle]
+                         for k in keypoints], np.float32).reshape(-1, 4)
+    a = np.asarray(keypoints, np.float32)
+    if a.ndim != 2 or a.shape[1] != 4:
+        raise ValueError("keypoints must be (N, 4) [x, y, size, angle]")
+    return a
+
+
+class _DescriptorBase:
+    """Shared compute path for BAD / HashSIFT (EfficientDescriptorsAsync,
+    cuda_efficient_descriptors.h:27-57)."""
+
+    _kind: str
+    _scale: float
+    _nbits: int
+
+    def compute(self, image, keypoints) -> np.ndarray:
+        return np.asarray(self.compute_async(image, keypoints))
+
+    def compute_async(self, image, keypoints) -> jax.Array:
+        img = _as_u8_image(image)
+        kp = _keypoints_to_xysa(keypoints)
+        n = kp.shape[0]
+        if n == 0:
+            return jnp.zeros((0, self.descriptor_size()), jnp.uint8)
+        cap = -(-n // _PAD) * _PAD
+        padded = np.zeros((cap, 4), np.float32)
+        padded[:n] = kp
+        valid = np.zeros(cap, bool)
+        valid[:n] = True
+        out = P.compute_jit(img, jnp.asarray(padded), jnp.asarray(valid),
+                            self._nbits, self._kind, self._scale)
+        return out[:n]
+
+    def descriptor_size(self) -> int:
+        return self._nbits // 8
+
+    def descriptor_type(self):
+        return np.uint8
+
+    def default_norm(self) -> str:
+        return "hamming"
+
+
+class BAD(_DescriptorBase):
+    """Box Average Difference descriptor (cuda_efficient_descriptors.h:67-90).
+
+    scale_factor: sampling-window scale (1.0 for ORB-like keypoints)."""
+
+    SIZE_512_BITS = 512
+    SIZE_256_BITS = 256
+    _kind = "bad"
+
+    def __init__(self, scale_factor: float = 1.0, nbits: int = 256):
+        if nbits not in (256, 512):
+            raise ValueError("BAD supports 256 or 512 bits")
+        self._scale = float(scale_factor)
+        self._nbits = nbits
+
+    @staticmethod
+    def create(scale_factor: float = 1.0, nbits: int = 256) -> "BAD":
+        return BAD(scale_factor, nbits)
+
+
+class HashSIFT(_DescriptorBase):
+    """HashSIFT descriptor (cuda_efficient_descriptors.h:101-121).
+
+    cropping_scale: patch diameter = cropping_scale * kp.size."""
+
+    SIZE_512_BITS = 512
+    SIZE_256_BITS = 256
+    _kind = "hash_sift"
+
+    def __init__(self, cropping_scale: float = 1.0, nbits: int = 256):
+        if nbits not in (256, 512):
+            raise ValueError("HashSIFT supports 256 or 512 bits")
+        self._scale = float(cropping_scale)
+        self._nbits = nbits
+
+    @staticmethod
+    def create(cropping_scale: float = 1.0, nbits: int = 256) -> "HashSIFT":
+        return HashSIFT(cropping_scale, nbits)
+
+
+class EfficientFeatures:
+    """Multi-scale FAST+Harris detector with BAD/HashSIFT descriptors
+    (cuda_efficient_features.h:28-98)."""
+
+    def __init__(self, nfeatures: int = 5000, scale_factor: float = 1.2,
+                 nlevels: int = 8, first_level: int = 0,
+                 fast_threshold: int = 20, nonmax_radius: int = 15,
+                 descriptor_type: str = "hash_sift_256"):
+        self._cfg = P.FeatureConfig(
+            nfeatures=nfeatures, scale_factor=scale_factor, nlevels=nlevels,
+            first_level=first_level, fast_threshold=fast_threshold,
+            nonmax_radius=nonmax_radius, descriptor_type=descriptor_type)
+
+    create = staticmethod(lambda *a, **kw: EfficientFeatures(*a, **kw))
+
+    # -- detection ---------------------------------------------------------
+
+    def detect(self, image, mask=None) -> KeyPoints:
+        return self.detect_async(image, mask).block()
+
+    def detect_async(self, image, mask=None) -> KeyPoints:
+        self._check_mask(mask)
+        return KeyPoints(P.detect_jit(_as_u8_image(image), self._cfg))
+
+    def compute(self, image, keypoints) -> np.ndarray:
+        return self._describer().compute(image, keypoints)
+
+    def compute_async(self, image, keypoints) -> jax.Array:
+        return self._describer().compute_async(image, keypoints)
+
+    def detect_and_compute(self, image, mask=None):
+        kps, desc = self.detect_and_compute_async(image, mask)
+        kps.block()
+        # compact descriptor rows to valid keypoints
+        return kps, np.asarray(desc)[np.asarray(kps._slots["valid"])]
+
+    def detect_and_compute_async(self, image, mask=None):
+        self._check_mask(mask)
+        slots, descs = P.detect_and_compute_jit(_as_u8_image(image), self._cfg)
+        return KeyPoints(slots), descs
+
+    def convert(self, keypoints: KeyPoints):
+        """KeyPoints -> list of cv2.KeyPoint (reference `convert`,
+        cuda_efficient_features.cpp:323-349)."""
+        return keypoints.cv_keypoints()
+
+    @staticmethod
+    def _check_mask(mask):
+        if mask is not None:
+            # The reference accepts a mask argument but never applies it
+            # (detectAndComputeAsync ignores _mask); we warn instead.
+            warnings.warn("mask is accepted for API parity but not applied "
+                          "(the CUDA reference ignores it too)")
+
+    def _describer(self):
+        kind, bits = self._cfg.descriptor_type.rsplit("_", 1)
+        cls = BAD if kind == "bad" else HashSIFT
+        return cls(1.0, int(bits))
+
+    # -- descriptor metadata -------------------------------------------------
+
+    def descriptor_size(self) -> int:
+        return self._cfg.descriptor_bytes
+
+    def descriptor_type(self):
+        return np.uint8
+
+    def default_norm(self) -> str:
+        return "hamming"
+
+    # -- parameters (7 getter/setter pairs, cuda_efficient_features.h:78-97) --
+
+    def set_max_features(self, v: int):
+        self._cfg = replace(self._cfg, nfeatures=int(v))
+
+    def get_max_features(self) -> int:
+        return self._cfg.nfeatures
+
+    def set_scale_factor(self, v: float):
+        self._cfg = replace(self._cfg, scale_factor=float(v))
+
+    def get_scale_factor(self) -> float:
+        return self._cfg.scale_factor
+
+    def set_n_levels(self, v: int):
+        self._cfg = replace(self._cfg, nlevels=int(v))
+
+    def get_n_levels(self) -> int:
+        return self._cfg.nlevels
+
+    def set_first_level(self, v: int):
+        self._cfg = replace(self._cfg, first_level=int(v))
+
+    def get_first_level(self) -> int:
+        return self._cfg.first_level
+
+    def set_fast_threshold(self, v: int):
+        self._cfg = replace(self._cfg, fast_threshold=int(v))
+
+    def get_fast_threshold(self) -> int:
+        return self._cfg.fast_threshold
+
+    def set_nonmax_radius(self, v: int):
+        self._cfg = replace(self._cfg, nonmax_radius=int(v))
+
+    def get_nonmax_radius(self) -> int:
+        return self._cfg.nonmax_radius
+
+    def set_descriptor_type(self, v: str):
+        if v not in P.DESCRIPTOR_TYPES:
+            raise ValueError(f"descriptor_type must be one of {P.DESCRIPTOR_TYPES}")
+        self._cfg = replace(self._cfg, descriptor_type=v)
+
+    def get_descriptor_type(self) -> str:
+        return self._cfg.descriptor_type

@@ -1,0 +1,117 @@
+"""BAD descriptor on TPU (cuda_bad.cu:121-348).
+
+TPU-first formulation: the per-(keypoint, bit) kernel becomes a fully
+vectorized (N, nbits) computation — affine transforms as broadcast arithmetic,
+the 16 integral-image reads as XLA gathers, the warp-shuffle bit packing as a
+reshape-weighted sum.  Bit-identical to cpu.descriptors.bad_descriptors.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.params import load_bad_params
+
+DEG2RAD = np.float32(0.017453292519943295)
+MARGIN = np.float32(1.75)
+PATCH_W = PATCH_H = 32
+
+
+def affine_rows(x, y, size, angle, scale_factor, pw=PATCH_W, ph=PATCH_H):
+    """Patch->image affine rows (float32); see cpu.descriptors._affine_rows."""
+    s = np.float32(scale_factor) * size / np.float32(0.5 * (pw + ph))
+    theta = angle * DEG2RAD
+    has = angle >= 0
+    cost = jnp.where(has, jnp.cos(theta), np.float32(1.0))
+    sint = jnp.where(has, jnp.sin(theta), np.float32(0.0))
+    m00 = s * cost
+    m01 = -s * sint
+    m02 = (-s * cost + s * sint) * np.float32(pw * 0.5) + x
+    m10 = s * sint
+    m11 = s * cost
+    m12 = (-s * sint - s * cost) * np.float32(ph * 0.5) + y
+    return m00, m01, m02, m10, m11, m12, s
+
+
+def pack_bits_msb(bits: jax.Array) -> jax.Array:
+    """(N, nbits) {0,1} int32 -> (N, nbits//8) uint8, MSB-first."""
+    n, nbits = bits.shape
+    b = bits.reshape(n, nbits // 8, 8)
+    weights = jnp.asarray(1 << np.arange(7, -1, -1), jnp.int32)
+    return (b * weights).sum(axis=2).astype(jnp.uint8)
+
+
+def _round_num(v: jax.Array) -> jax.Array:
+    """CV_ROUNDNUM: trunc(v + 0.5) (cuda_bad.cu:52)."""
+    return jnp.trunc(v + np.float32(0.5)).astype(jnp.int32)
+
+
+def bad_descriptors(integral: jax.Array, x, y, size, angle, valid, *,
+                    nbits: int = 256, scale_factor: float = 1.0) -> jax.Array:
+    """(N, nbits//8) uint8 descriptors from a precomputed int32 integral image.
+
+    Invalid slots produce zero rows.
+    """
+    boxes_np, th_np = load_bad_params(nbits)
+    fh, fw = integral.shape
+    img_w, img_h = fw - 1, fh - 1
+
+    x = x[:, None]
+    y = y[:, None]
+    size = size[:, None]
+    angle = angle[:, None]
+    m00, m01, m02, m10, m11, m12, s = affine_rows(x, y, size, angle, scale_factor)
+
+    bx1 = jnp.asarray(boxes_np[:, 0], jnp.float32)[None, :]
+    bx2 = jnp.asarray(boxes_np[:, 1], jnp.float32)[None, :]
+    by1 = jnp.asarray(boxes_np[:, 2], jnp.float32)[None, :]
+    by2 = jnp.asarray(boxes_np[:, 3], jnp.float32)[None, :]
+    br = jnp.asarray(boxes_np[:, 4], jnp.float32)[None, :]
+    th = jnp.asarray(th_np)[None, :]
+
+    tx1 = _round_num(m00 * bx1 + m01 * by1 + m02)
+    ty1 = _round_num(m10 * bx1 + m11 * by1 + m12)
+    tx2 = _round_num(m00 * bx2 + m01 * by2 + m02)
+    ty2 = _round_num(m10 * bx2 + m11 * by2 + m12)
+    tbr = _round_num(s * br)
+
+    ii = integral
+
+    def gather(iy, ix):
+        return ii[jnp.clip(iy, 0, fh - 1), jnp.clip(ix, 0, fw - 1)]
+
+    def box_avg_clamped(cx, cy, r):
+        x1 = jnp.clip(cx - r, 0, fw - 2)
+        y1 = jnp.clip(cy - r, 0, fh - 2)
+        x2 = jnp.clip(cx + r + 1, 1, fw - 1)
+        y2 = jnp.clip(cy + r + 1, 1, fh - 1)
+        ssum = (gather(y1, x1) + gather(y2, x2)
+                - gather(y1, x2) - gather(y2, x1)).astype(jnp.float32)
+        area = ((y2 - y1) * (x2 - x1)).astype(jnp.float32)
+        return ssum / area
+
+    def box_sum_fast(cx, cy, r):
+        # interior path; clip for memory safety only (reference relies on the
+        # 1.75 margin keeping these in-bounds)
+        return (gather(cy - r, cx - r) + gather(cy + r + 1, cx + r + 1)
+                - gather(cy - r, cx + r + 1) - gather(cy + r + 1, cx - r))
+
+    resp_border = (box_avg_clamped(tx1, ty1, tbr)
+                   - box_avg_clamped(tx2, ty2, tbr))
+    bit_border = resp_border <= th
+
+    side = 1 + 2 * tbr
+    area_resp = box_sum_fast(tx1, ty1, tbr) - box_sum_fast(tx2, ty2, tbr)
+    bit_fast = (area_resp.astype(jnp.float32)
+                <= th * (side * side).astype(jnp.float32))
+
+    sb = np.float32(scale_factor) * size / np.float32(PATCH_W + PATCH_H)
+    bw = np.float32(PATCH_W) * sb * MARGIN
+    bh = np.float32(PATCH_H) * sb * MARGIN
+    in_border = ((x < bw) | (x + bw >= np.float32(img_w)) |
+                 (y < bh) | (y + bh >= np.float32(img_h)))
+
+    bits = jnp.where(in_border, bit_border, bit_fast).astype(jnp.int32)
+    bits = jnp.where(valid[:, None], bits, 0)
+    return pack_bits_msb(bits)

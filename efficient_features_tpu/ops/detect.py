@@ -1,0 +1,168 @@
+"""TPU keypoint detection ops: dense FAST-9, integer Harris, radius NMS, top-k.
+
+TPU-first redesign of the reference's per-level detect pipeline
+(cuda_efficient_features.cpp:244-273): instead of atomic compaction with host
+count readbacks (the reference's two pipeline stalls, cuda_fast.cu:241-245 and
+cuda_efficient_features.cu:337-339), everything is dense, fixed-shape and
+masked, so the whole pipeline stays inside one jit with zero host syncs.
+
+All outputs are exact integers (see utils/semantics.py), bit-identical to the
+CPU oracle.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils import semantics as S
+
+RESP_SENTINEL = np.int64(-(1 << 62))
+
+
+def _shift2d(a: jax.Array, dy: int, dx: int, fill) -> jax.Array:
+    """out[y, x] = a[y + dy, x + dx], `fill`-padded (any shift magnitude)."""
+    h, w = a.shape
+    if abs(dy) >= h or abs(dx) >= w:
+        return jnp.full_like(a, fill)
+    pad_y = (max(-dy, 0), max(dy, 0))
+    pad_x = (max(-dx, 0), max(dx, 0))
+    p = jnp.pad(a, (pad_y, pad_x), constant_values=fill)
+    return jax.lax.slice(
+        p, (pad_y[0] + dy, pad_x[0] + dx), (pad_y[0] + dy + h, pad_x[0] + dx + w))
+
+
+# ---------------------------------------------------------------------------
+# FAST-9 (cuda_fast.cu:42-222) — dense bitmask formulation
+# ---------------------------------------------------------------------------
+
+
+def fast_corner_mask(img: jax.Array, threshold) -> jax.Array:
+    """Dense FAST-9 corner map (bool).  The 8KB LUT of the reference is
+    replaced by an arithmetic rotate-AND run-of-9 test (VPU-friendly)."""
+    v = img.astype(jnp.int16)
+    th = jnp.asarray(threshold, jnp.int16)
+    hi = v + th
+    lo = v - th
+    brighter = jnp.zeros(img.shape, jnp.uint16)
+    darker = jnp.zeros(img.shape, jnp.uint16)
+    for bit, (dy, dx) in enumerate(S.FAST_CIRCLE):
+        sh = _shift2d(v, int(dy), int(dx), 0)
+        brighter = brighter | (sh > hi).astype(jnp.uint16) << np.uint16(bit)
+        darker = darker | (sh < lo).astype(jnp.uint16) << np.uint16(bit)
+
+    def any_run9(m):
+        acc = m
+        for s in range(1, S.FAST_ARC_LEN):
+            acc = acc & ((m >> np.uint16(s)) | (m << np.uint16(16 - s)))
+        return acc != 0
+
+    corner = any_run9(brighter) | any_run9(darker)
+    h, w = img.shape
+    edge = jnp.zeros(img.shape, bool).at[3:h - 3, 3:w - 3].set(True) \
+        if h > 6 and w > 6 else jnp.zeros(img.shape, bool)
+    return corner & edge
+
+
+# ---------------------------------------------------------------------------
+# Integer Harris (cuda_efficient_features.cu:99-139, monotone integer form)
+# ---------------------------------------------------------------------------
+
+
+def harris_response_int(img: jax.Array) -> jax.Array:
+    """Dense int64 response 25*det - tr^2; see cpu.reference.harris_response_int."""
+    a = img.astype(jnp.int32)
+
+    def sh(dy, dx):
+        return _shift2d(a, dy, dx, 0)
+
+    dx = ((sh(1, 1) + 2 * sh(0, 1) + sh(-1, 1))
+          - (sh(1, -1) + 2 * sh(0, -1) + sh(-1, -1)))
+    dy = ((sh(1, -1) + 2 * sh(1, 0) + sh(1, 1))
+          - (sh(-1, -1) + 2 * sh(-1, 0) + sh(-1, 1)))
+
+    def box7(m):
+        # separable 7-tap window sum via shifts (int32-safe: |m| <= 1.04e6)
+        rows = sum(_shift2d(m, 0, d, 0) for d in range(-3, 4))
+        return sum(_shift2d(rows, d, 0, 0) for d in range(-3, 4))
+
+    sxx = box7(dx * dx).astype(jnp.int64)
+    sxy = box7(dx * dy).astype(jnp.int64)
+    syy = box7(dy * dy).astype(jnp.int64)
+    tr = sxx + syy
+    return np.int64(S.HARRIS_K_INV) * (sxx * syy - sxy * sxy) - tr * tr
+
+
+# ---------------------------------------------------------------------------
+# Radius NMS (deterministic disc max-filter; see cpu.reference.radius_nms)
+# ---------------------------------------------------------------------------
+
+
+def radius_nms(resp_int: jax.Array, corner: jax.Array, radius: int) -> jax.Array:
+    """Survivor mask: corner & (resp >= max over open disc).  Log-depth
+    decomposition into per-dy centered row max-filters, identical integers to
+    the oracle."""
+    masked = jnp.where(corner, resp_int, RESP_SENTINEL)
+    h, w = masked.shape
+    padded = jnp.pad(masked, ((0, 0), (radius, radius)),
+                     constant_values=RESP_SENTINEL)
+
+    def shx(arr, k):
+        return _shift2d(arr, 0, k, RESP_SENTINEL)
+
+    pows = {1: padded}
+    p = 1
+    while 2 * p <= 2 * radius + 1:
+        pows[2 * p] = jnp.maximum(pows[p], shx(pows[p], p))
+        p *= 2
+
+    def centered_rowmax(wdx: int) -> jax.Array:
+        width = 2 * wdx + 1
+        k = 1
+        while k * 2 <= width:
+            k *= 2
+        left = pows[k]
+        if k != width:
+            left = jnp.maximum(left, shx(pows[k], width - k))
+        return jax.lax.slice(left, (0, radius - wdx), (h, radius - wdx + w))
+
+    disc_max = jnp.full_like(masked, RESP_SENTINEL)
+    # share identical-width row filters across dy values
+    by_width: dict[int, list[int]] = {}
+    for dy, wdx in S.disc_row_extents(radius):
+        by_width.setdefault(wdx, []).append(dy)
+    for wdx, dys in by_width.items():
+        rm = centered_rowmax(wdx)
+        for dy in dys:
+            disc_max = jnp.maximum(disc_max, _shift2d(rm, dy, 0, RESP_SENTINEL))
+    return corner & (masked >= disc_max)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-shape top-k selection (replaces thrust sort + truncate,
+# cuda_efficient_features.cu:344-358)
+# ---------------------------------------------------------------------------
+
+
+def select_topk(resp_int: jax.Array, survivor: jax.Array, quota: int):
+    """Top `quota` survivors by (response desc, flat index asc).
+
+    Returns (ys, xs, resp, valid) fixed-shape (quota,) arrays.  jax.lax.top_k
+    is stable (ties resolved to the lowest index), matching the oracle's
+    lexsort semantics exactly.
+    """
+    h, w = resp_int.shape
+    masked = jnp.where(survivor, resp_int, RESP_SENTINEL).reshape(-1)
+    quota = min(quota, h * w)
+    vals, idx = jax.lax.top_k(masked, quota)
+    valid = vals != RESP_SENTINEL
+    ys = (idx // w).astype(jnp.int32)
+    xs = (idx % w).astype(jnp.int32)
+    return (jnp.where(valid, ys, 0), jnp.where(valid, xs, 0),
+            jnp.where(valid, vals, 0), valid)
+
+
+def response_to_float(resp_int: jax.Array) -> jax.Array:
+    """User-visible float32 response (same scale as the reference's)."""
+    return (resp_int.astype(jnp.float64) *
+            np.float64(S.HARRIS_RESPONSE_SCALE)).astype(jnp.float32)

@@ -1,0 +1,176 @@
+"""HashSIFT descriptor on TPU (cuda_hash_sift.cu / cuda_hash_sift.cpp).
+
+TPU-first redesign of the per-keypoint CUDA block kernel:
+  - the 32x32 bilinear patch warp is a batched XLA gather,
+  - the trilinearly-interpolated 6x6x10 orientation histogram — an atomicAdd
+    scatter loop on GPU (cuda_hash_sift.cu:282-289) — becomes ten MXU matmuls
+    against a constant (900, 36) spatial-weight matrix: the spatial bins and
+    Gaussian weighting are keypoint-independent, so
+        H[n, rc, o] = sum_px Wsp[px, rc] * V_o[n, px]
+    where V_o carries the per-keypoint orientation votes.  No scatter at all.
+  - the 129 x nbits projection runs as one f32 GEMM on the MXU (the
+    reference's cuBLAS call, cuda_hash_sift.cpp:44-60).
+
+Parity with cpu.descriptors.hash_sift_descriptors is float-associativity-level
+(histogram accumulation order differs), covered by the 1e-4 budget.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.params import load_hash_sift_matrix
+from .bad import affine_rows, pack_bits_msb
+
+PATCH_W = PATCH_H = 32
+R_BINS = C_BINS = 4
+ORI_BINS = 8
+MAGNITUDE_TH = np.float32(0.2)
+INT_DESCR_FACTOR = np.float32(512.0)
+KEYPOINT_SCALE = 1.0 / 6.0
+SIFT_DESCR_SCL_FCTR = 3.0
+
+
+@functools.lru_cache(maxsize=None)
+def _spatial_weight_matrix():
+    """Constant (900, 36) matrix: pixel -> (r6, c6) trilinear spatial weights
+    including the Gaussian magnitude scale (all keypoint-independent,
+    cuda_hash_sift.cu:211-233,315-351).
+
+    Also returns the (900,) pixel coordinate grids used for gradients.
+    """
+    xs = np.arange(1, PATCH_W - 1)
+    ys = np.arange(1, PATCH_H - 1)
+    gx, gy = np.meshgrid(xs, ys)
+    kp_radius = KEYPOINT_SCALE * PATCH_H * 0.5
+    kernel_sigma = 0.5 * C_BINS * SIFT_DESCR_SCL_FCTR * kp_radius
+    dist_scale = -1.0 / (2 * kernel_sigma * kernel_sigma)
+    mag_scale = np.exp(np.float32(dist_scale)
+                       * ((gx - np.float32(16)) ** 2
+                          + (gy - np.float32(16)) ** 2).astype(np.float32)
+                       ).astype(np.float32)
+
+    scale_rc = np.float32(1.0 / (SIFT_DESCR_SCL_FCTR * kp_radius))
+    rbin = scale_rc * (gy.astype(np.float32) - np.float32(16)) + np.float32(1.5)
+    cbin = scale_rc * (gx.astype(np.float32) - np.float32(16)) + np.float32(1.5)
+    ri = np.floor(rbin).astype(np.int32)
+    rf = (rbin - ri).astype(np.float32)
+    ci = np.floor(cbin).astype(np.int32)
+    cf = (cbin - ci).astype(np.float32)
+
+    npx = gx.size
+    W = np.zeros((npx, (R_BINS + 2) * (C_BINS + 2)), np.float32)
+    rif, cif = ri.ravel(), ci.ravel()
+    rff, cff = rf.ravel(), cf.ravel()
+    msf = mag_scale.ravel()
+    px = np.arange(npx)
+    for dr, wr in ((0, 1 - rff), (1, rff)):
+        for dc, wc in ((0, 1 - cff), (1, cff)):
+            W[px, (rif + 1 + dr) * (C_BINS + 2) + (cif + 1 + dc)] += \
+                msf * wr * wc
+    return W
+
+
+def warp_patches(image: jax.Array, x, y, size, angle,
+                 cropping_scale: float) -> jax.Array:
+    """(N, 32, 32) float32 warped patches (values already u8-quantized);
+    matches cpu.descriptors.warp_patches."""
+    h, w = image.shape
+    xf = x[:, None, None]
+    yf = y[:, None, None]
+    sf = size[:, None, None]
+    af = angle[:, None, None]
+    m00, m01, m02, m10, m11, m12, _ = affine_rows(xf, yf, sf, af, cropping_scale)
+
+    px = jnp.arange(PATCH_W, dtype=jnp.float32)[None, None, :]
+    py = jnp.arange(PATCH_H, dtype=jnp.float32)[None, :, None]
+    u = m00 * px + m01 * py + m02
+    v = m10 * px + m11 * py + m12
+
+    ui = jnp.floor(u).astype(jnp.int32)
+    vi = jnp.floor(v).astype(jnp.int32)
+    valid = (ui >= 0) & (ui + 1 < w) & (vi >= 0) & (vi + 1 < h)
+    uic = jnp.clip(ui, 0, w - 2)
+    vic = jnp.clip(vi, 0, h - 2)
+    du = u - ui.astype(jnp.float32)
+    dv = v - vi.astype(jnp.float32)
+
+    im = image.astype(jnp.float32)
+    p00 = im[vic, uic]
+    p01 = im[vic, uic + 1]
+    p10 = im[vic + 1, uic]
+    p11 = im[vic + 1, uic + 1]
+    t0 = p00 + du * (p01 - p00)
+    t1 = p10 + du * (p11 - p10)
+    t2 = t0 + dv * (t1 - t0)
+    val = jnp.minimum(jnp.trunc(t2 + np.float32(0.5)), np.float32(255.0))
+    return jnp.where(valid, val, 0.0)
+
+
+def patch_sift_responses(patches: jax.Array) -> jax.Array:
+    """(N, 129) float32 SIFT response rows [1, d0..d127] from (N, 32, 32)
+    patches, histogram built with ten MXU matmuls (see module docstring)."""
+    n = patches.shape[0]
+    p = patches
+    dx = p[:, 1:-1, 2:] - p[:, 1:-1, :-2]
+    dy = p[:, :-2, 1:-1] - p[:, 2:, 1:-1]
+    mag = jnp.sqrt(dx * dx + dy * dy).reshape(n, -1)          # (N, 900)
+    ori = jnp.arctan2(dy, dx).reshape(n, -1)
+
+    scale_o = np.float32(ORI_BINS / (2 * np.pi))
+    ob = scale_o * ori
+    oi = jnp.floor(ob).astype(jnp.int32)
+    of = ob - oi.astype(jnp.float32)
+    oi = jnp.where(oi < 0, oi + ORI_BINS, oi)
+    oi = jnp.where(oi >= ORI_BINS, oi - ORI_BINS, oi)
+
+    v_hi = of * mag
+    v_lo = mag - v_hi
+
+    Wsp = jnp.asarray(_spatial_weight_matrix())               # (900, 36)
+
+    # ten (N, 900) @ (900, 36) matmuls, one per orientation bin.
+    # precision='highest': full f32 MXU accumulation — descriptor sign bits are
+    # compared against an f32 oracle, bf16 default precision is not enough.
+    hists = []
+    for o in range(ORI_BINS + 2):
+        v_o = jnp.where(oi == o, v_lo, 0.0) + jnp.where(oi + 1 == o, v_hi, 0.0)
+        hists.append(jnp.dot(v_o, Wsp, preferred_element_type=jnp.float32,
+                             precision="highest"))
+    hist = jnp.stack(hists, axis=-1)                          # (N, 36, 10)
+    hist = hist.reshape(n, R_BINS + 2, C_BINS + 2, ORI_BINS + 2)
+
+    core = hist[:, 1:1 + R_BINS, 1:1 + C_BINS, :]
+    core = core.at[..., 0].add(core[..., ORI_BINS])
+    core = core.at[..., 1].add(core[..., ORI_BINS + 1])
+    desc = core[..., :ORI_BINS].reshape(n, 128)
+
+    eps = np.float32(np.finfo(np.float32).eps)
+
+    def l2n(d):
+        nrm = jnp.maximum(jnp.sqrt((d * d).sum(axis=1)), eps)
+        return d / nrm[:, None]
+
+    desc = l2n(desc)
+    desc = jnp.minimum(desc, MAGNITUDE_TH)
+    desc = l2n(desc)
+    desc = jnp.clip(jnp.trunc(INT_DESCR_FACTOR * desc + np.float32(0.5)), 0, 255)
+
+    return jnp.concatenate([jnp.ones((n, 1), jnp.float32), desc], axis=1)
+
+
+def hash_sift_descriptors(image: jax.Array, x, y, size, angle, valid, *,
+                          nbits: int = 256,
+                          cropping_scale: float = 1.0) -> jax.Array:
+    """(N, nbits//8) uint8 HashSIFT descriptors; invalid slots are zero."""
+    B = jnp.asarray(load_hash_sift_matrix(nbits))             # (nbits, 129)
+    patches = warp_patches(image, x, y, size, angle, cropping_scale)
+    responses = patch_sift_responses(patches)
+    proj = jnp.dot(responses, B.T, preferred_element_type=jnp.float32,
+                   precision="highest")
+    bits = (proj > 0).astype(jnp.int32)
+    bits = jnp.where(valid[:, None], bits, 0)
+    return pack_bits_msb(bits)

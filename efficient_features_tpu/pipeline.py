@@ -1,0 +1,167 @@
+"""End-to-end jitted detect / detectAndCompute pipelines.
+
+TPU-first replacement for EfficientFeaturesImpl::detectAndComputeAsync
+(cuda_efficient_features.cpp:225-321): the reference's per-level loop performs
+two device->host count readbacks per level (8 levels = 16 pipeline stalls); here
+the whole pipeline — pyramid, FAST, Harris, NMS, per-level top-k, angles, blur,
+descriptors — traces into ONE XLA program with fixed shapes and masks.  The
+only host transfer is the final fetch of the fixed-size output slots.
+
+Keypoint slots: each level owns a fixed `quota` range of the output arrays
+(ORB geometric split); invalid slots are masked.  Slot order within a level is
+(response desc, index asc) — deterministic.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .utils import semantics as S
+from .ops import image as ops_image
+from .ops import detect as ops_detect
+from .ops import orientation as ops_orient
+from .ops import bad as ops_bad
+from .ops import hash_sift as ops_hs
+
+DESCRIPTOR_TYPES = ("bad_256", "bad_512", "hash_sift_256", "hash_sift_512")
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    """Detector configuration (defaults: cuda_efficient_features.h:47-48)."""
+    nfeatures: int = 5000
+    scale_factor: float = 1.2
+    nlevels: int = 8
+    first_level: int = 0
+    fast_threshold: int = 20
+    nonmax_radius: int = 15
+    descriptor_type: str = "hash_sift_256"
+
+    @property
+    def descriptor_bits(self) -> int:
+        return int(self.descriptor_type.rsplit("_", 1)[1])
+
+    @property
+    def descriptor_bytes(self) -> int:
+        return self.descriptor_bits // 8
+
+    def quotas(self) -> list[int]:
+        return S.features_per_level(self.nfeatures, self.scale_factor, self.nlevels)
+
+
+def _detect_level(img, quota, cfg: FeatureConfig):
+    """One pyramid level: FAST -> Harris -> NMS -> top-k -> angles."""
+    h, w = img.shape
+    corner = ops_detect.fast_corner_mask(img, cfg.fast_threshold)
+    b = S.HALF_PATCH_SIZE
+    if h > 2 * b and w > 2 * b:
+        border = jnp.zeros((h, w), bool).at[b:h - b, b:w - b].set(True)
+        corner = corner & border
+    else:
+        corner = jnp.zeros((h, w), bool)
+    resp = ops_detect.harris_response_int(img)
+    surv = ops_detect.radius_nms(resp, corner, cfg.nonmax_radius)
+    ys, xs, r, valid = ops_detect.select_topk(resp, surv, quota)
+    ang = ops_orient.ic_angles(img, ys, xs, valid)
+    return ys, xs, r, ang, valid
+
+
+def detect_core(image: jax.Array, cfg: FeatureConfig):
+    """Returns per-slot SoA dict over sum(quotas[first_level:]) slots."""
+    levels = ops_image.build_pyramid(image, cfg.scale_factor, cfg.nlevels)
+    scales = S.pyramid_scales(cfg.scale_factor, cfg.nlevels)
+    quotas = cfg.quotas()
+
+    outs = {k: [] for k in
+            ("x", "y", "response", "angle", "octave", "size", "valid",
+             "x_level", "y_level")}
+    per_level = []
+    for s in range(cfg.first_level, cfg.nlevels):
+        quota = min(quotas[s], int(np.prod(levels[s].shape)))
+        ys, xs, r, ang, valid = _detect_level(levels[s], quota, cfg)
+        per_level.append((s, ys, xs, valid, ang))
+        sc = np.float32(scales[s])
+        # scalePoints (cuda_efficient_features.cu:236-248): trunc(scale*x + 0.5)
+        outs["x"].append(jnp.trunc(sc * xs.astype(jnp.float32) + np.float32(0.5)))
+        outs["y"].append(jnp.trunc(sc * ys.astype(jnp.float32) + np.float32(0.5)))
+        outs["response"].append(ops_detect.response_to_float(r))
+        outs["angle"].append(ang)
+        outs["octave"].append(jnp.full((quota,), s, jnp.int32))
+        outs["size"].append(jnp.full((quota,), sc * np.float32(S.PATCH_SIZE),
+                                     jnp.float32))
+        outs["valid"].append(valid)
+        outs["x_level"].append(xs)
+        outs["y_level"].append(ys)
+
+    slots = {k: jnp.concatenate(v) for k, v in outs.items()}
+    slots["count"] = slots["valid"].sum(dtype=jnp.int32)
+    return slots, levels, per_level
+
+
+def _compute_level_descriptors(blurred, ys, xs, ang, valid, cfg: FeatureConfig):
+    """Descriptors for one level's slots, on the blurred level image, with
+    keypoints (x, y, size=31, angle) in level coordinates
+    (convertKeypoints semantics, cuda_efficient_features.cu:250-263)."""
+    x = xs.astype(jnp.float32)
+    y = ys.astype(jnp.float32)
+    size = jnp.full(x.shape, np.float32(S.PATCH_SIZE), jnp.float32)
+    kind, bits = cfg.descriptor_type.rsplit("_", 1)
+    if kind == "bad":
+        integral = ops_image.integral_image_i32(blurred)
+        return ops_bad.bad_descriptors(integral, x, y, size, ang, valid,
+                                       nbits=int(bits), scale_factor=1.0)
+    return ops_hs.hash_sift_descriptors(blurred, x, y, size, ang, valid,
+                                        nbits=int(bits), cropping_scale=1.0)
+
+
+def detect_and_compute_core(image: jax.Array, cfg: FeatureConfig,
+                            with_descriptors: bool = True):
+    slots, levels, per_level = detect_core(image, cfg)
+    if not with_descriptors:
+        return slots, None
+    descs = []
+    for (s, ys, xs, valid, ang) in per_level:
+        blurred = ops_image.gaussian_blur7_u8(levels[s])
+        descs.append(_compute_level_descriptors(blurred, ys, xs, ang, valid, cfg))
+    return slots, jnp.concatenate(descs, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# jitted entry points (cfg is a static argument -> one trace per config+shape)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(1,))
+def detect_jit(image, cfg: FeatureConfig):
+    slots, _, _ = detect_core(image, cfg)
+    slots.pop("x_level")
+    slots.pop("y_level")
+    return slots
+
+
+@partial(jax.jit, static_argnums=(1,))
+def detect_and_compute_jit(image, cfg: FeatureConfig):
+    slots, descs = detect_and_compute_core(image, cfg, with_descriptors=True)
+    slots.pop("x_level")
+    slots.pop("y_level")
+    return slots, descs
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def compute_jit(image, keypoints_xysa, valid, nbits: int, kind: str,
+                scale: float):
+    """Standalone descriptor computation on user keypoints (BAD/HashSIFT
+    compute(), cuda_bad.cpp:46-70 / cuda_hash_sift.cpp:113-137) — on the raw
+    image (no blur), matching the reference."""
+    x, y, size, ang = (keypoints_xysa[:, 0], keypoints_xysa[:, 1],
+                       keypoints_xysa[:, 2], keypoints_xysa[:, 3])
+    if kind == "bad":
+        integral = ops_image.integral_image_i32(image)
+        return ops_bad.bad_descriptors(integral, x, y, size, ang, valid,
+                                       nbits=nbits, scale_factor=scale)
+    return ops_hs.hash_sift_descriptors(image, x, y, size, ang, valid,
+                                        nbits=nbits, cropping_scale=scale)
