@@ -158,14 +158,18 @@ def _box7_sum(a: np.ndarray) -> np.ndarray:
             - c[7:7 + h, 0:w] + c[0:h, 0:w])
 
 
-def harris_response_int(img: np.ndarray) -> np.ndarray:
-    """Dense integer Harris response: 25*det(M_int) - tr(M_int)^2 (int64).
+def _trunc_mantissa(x: np.ndarray, drop_bits: int) -> np.ndarray:
+    i = x.view(np.int32) & np.int32(~((1 << drop_bits) - 1))
+    return i.view(np.float32)
 
-    The reference's float response (cuda_efficient_features.cu:99-139) equals
-    HARRIS_RESPONSE_SCALE * this value up to float rounding; the integer form is
-    a strictly monotone equivalent, so NMS / top-k decisions are exact.
-    Valid where the 9x9 support stays in-bounds; the detector's 15px border mask
-    guarantees that.
+
+def harris_response(img: np.ndarray) -> np.ndarray:
+    """Dense float32 Harris response (cuda_efficient_features.cu:99-139).
+
+    Exact-integer Sobel and 7x7 window sums, then the FMA-immune quantized
+    det/trace math of utils/semantics.py deviation 4 — bit-identical to the
+    TPU path on every backend.  Valid where the 9x9 support is in-bounds;
+    the detector's 15px border mask guarantees that.
     """
     a = img.astype(np.int32)
     # Sobel via shifts; _shift2d(a, dy, dx)[y, x] = a[y+dy, x+dx]
@@ -173,24 +177,20 @@ def harris_response_int(img: np.ndarray) -> np.ndarray:
           - (_shift2d(a, 1, -1) + 2 * _shift2d(a, 0, -1) + _shift2d(a, -1, -1)))
     dy = ((_shift2d(a, 1, -1) + 2 * _shift2d(a, 1, 0) + _shift2d(a, 1, 1))
           - (_shift2d(a, -1, -1) + 2 * _shift2d(a, -1, 0) + _shift2d(a, -1, 1)))
-    sxx = _box7_sum((dx * dx).astype(np.int64))
-    sxy = _box7_sum((dx * dy).astype(np.int64))
-    syy = _box7_sum((dy * dy).astype(np.int64))
-    tr = sxx + syy
-    return S.HARRIS_K_INV * (sxx * syy - sxy * sxy) - tr * tr
-
-
-def response_to_float(resp_int) -> np.ndarray:
-    """User-visible float32 response (matches the reference's scale)."""
-    return (np.asarray(resp_int, dtype=np.float64) * float(S.HARRIS_RESPONSE_SCALE)
-            ).astype(np.float32)
+    s2 = np.float32(S.HARRIS_SCALE) * np.float32(S.HARRIS_SCALE)
+    sxx = _trunc_mantissa(s2 * _box7_sum((dx * dx).astype(np.int64)).astype(np.float32), 12)
+    sxy = _trunc_mantissa(s2 * _box7_sum((dx * dy).astype(np.int64)).astype(np.float32), 12)
+    syy = _trunc_mantissa(s2 * _box7_sum((dy * dy).astype(np.int64)).astype(np.float32), 12)
+    tr = _trunc_mantissa(sxx + syy, 13)
+    det = sxx * syy - sxy * sxy
+    return det - np.float32(S.HARRIS_K) * (tr * tr)
 
 
 # ---------------------------------------------------------------------------
 # Radius NMS (cuda_efficient_features.cu:62-97, deterministic variant)
 # ---------------------------------------------------------------------------
 
-RESP_SENTINEL = np.int64(-(1 << 62))
+RESP_SENTINEL = np.float32(-np.inf)
 
 
 def _shift_x_sent(a: np.ndarray, k: int) -> np.ndarray:
@@ -219,7 +219,7 @@ def _shift_y_sent(a: np.ndarray, k: int) -> np.ndarray:
     return out
 
 
-def radius_nms(resp_int: np.ndarray, corner: np.ndarray, radius: int) -> np.ndarray:
+def radius_nms(resp: np.ndarray, corner: np.ndarray, radius: int) -> np.ndarray:
     """Survivor mask: corner & (resp >= max over open disc of radius).
 
     Ties co-survive (documented deviation 1 in utils/semantics.py).  The disc
@@ -227,7 +227,7 @@ def radius_nms(resp_int: np.ndarray, corner: np.ndarray, radius: int) -> np.ndar
     built from power-of-2 left-aligned running maxima (log-depth, the same
     algorithm the TPU path uses, so results are identical integers).
     """
-    masked = np.where(corner, resp_int, RESP_SENTINEL)
+    masked = np.where(corner, resp, RESP_SENTINEL)
     h, w = masked.shape
     # pad left/right with sentinels so centered windows never clip
     padded = np.full((h, w + 2 * radius), RESP_SENTINEL, dtype=masked.dtype)
@@ -264,15 +264,15 @@ def radius_nms(resp_int: np.ndarray, corner: np.ndarray, radius: int) -> np.ndar
 # ---------------------------------------------------------------------------
 
 
-def select_topk(resp_int: np.ndarray, survivor: np.ndarray, quota: int):
+def select_topk(resp: np.ndarray, survivor: np.ndarray, quota: int):
     """Returns (ys, xs, resp_int) of up to `quota` survivors, ranked by
     (response desc, flat index asc) — deterministic replacement for the
     reference's unstable thrust sort (cuda_efficient_features.cu:344-358)."""
     ys, xs = np.nonzero(survivor)
     if ys.size == 0:
         return (np.zeros(0, np.int32),) * 2 + (np.zeros(0, np.int64),)
-    r = resp_int[ys, xs]
-    flat = ys.astype(np.int64) * resp_int.shape[1] + xs
+    r = resp[ys, xs]
+    flat = ys.astype(np.int64) * resp.shape[1] + xs
     order = np.lexsort((flat, -r))[:quota]
     return ys[order].astype(np.int32), xs[order].astype(np.int32), r[order]
 
@@ -345,7 +345,7 @@ def detect(image: np.ndarray, *, nfeatures=5000, scale_factor=1.2, nlevels=8,
         if h > 2 * b and w > 2 * b:
             border[b:h - b, b:w - b] = True
         corner &= border
-        resp = harris_response_int(img)
+        resp = harris_response(img)
         surv = radius_nms(resp, corner, nonmax_radius)
         ys, xs, r = select_topk(resp, surv, quotas[s])
         ang = ic_angles(img, ys, xs)
@@ -358,7 +358,7 @@ def detect(image: np.ndarray, *, nfeatures=5000, scale_factor=1.2, nlevels=8,
         # scalePoints (cuda_efficient_features.cu:236-248): short(scale*x + 0.5)
         xs_all.append((sc * xs.astype(np.float32) + np.float32(0.5)).astype(np.int16))
         ys_all.append((sc * ys.astype(np.float32) + np.float32(0.5)).astype(np.int16))
-        resp_all.append(response_to_float(r))
+        resp_all.append(r.astype(np.float32))
         ang_all.append(ang)
         oct_all.append(np.full(xs.size, s, np.int32))
         size_all.append(np.full(xs.size, sc * np.float32(S.PATCH_SIZE), np.float32))

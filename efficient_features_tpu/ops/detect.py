@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..utils import semantics as S
 
-RESP_SENTINEL = np.int64(-(1 << 62))
+RESP_SENTINEL = np.float32(-np.inf)
 
 
 def _shift2d(a: jax.Array, dy: int, dx: int, fill) -> jax.Array:
@@ -65,12 +65,24 @@ def fast_corner_mask(img: jax.Array, threshold) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# Integer Harris (cuda_efficient_features.cu:99-139, monotone integer form)
+# Harris response (cuda_efficient_features.cu:99-139)
 # ---------------------------------------------------------------------------
+# Exact-integer Sobel + 7x7 window sums (int32), then FMA-immune f32 math:
+# operand significands are truncated (utils/semantics.py, deviation 4) so that
+# every multiply in det/trace is EXACT in f32 — an exact product is identical
+# whether the compiler emits separate mul+sub or a contracted FMA, so the
+# response map is bit-identical across NumPy / XLA-CPU / XLA-TPU regardless of
+# codegen, and every NMS / top-k selection decision matches the CPU oracle.
 
 
-def harris_response_int(img: jax.Array) -> jax.Array:
-    """Dense int64 response 25*det - tr^2; see cpu.reference.harris_response_int."""
+def _trunc_mantissa(x: jax.Array, drop_bits: int) -> jax.Array:
+    i = jax.lax.bitcast_convert_type(x, jnp.int32)
+    mask = jnp.int32(~((1 << drop_bits) - 1))
+    return jax.lax.bitcast_convert_type(i & mask, jnp.float32)
+
+
+def harris_response(img: jax.Array) -> jax.Array:
+    """Dense float32 Harris response; see cpu.reference.harris_response."""
     a = img.astype(jnp.int32)
 
     def sh(dy, dx):
@@ -86,11 +98,15 @@ def harris_response_int(img: jax.Array) -> jax.Array:
         rows = sum(_shift2d(m, 0, d, 0) for d in range(-3, 4))
         return sum(_shift2d(rows, d, 0, 0) for d in range(-3, 4))
 
-    sxx = box7(dx * dx).astype(jnp.int64)
-    sxy = box7(dx * dy).astype(jnp.int64)
-    syy = box7(dy * dy).astype(jnp.int64)
-    tr = sxx + syy
-    return np.int64(S.HARRIS_K_INV) * (sxx * syy - sxy * sxy) - tr * tr
+    s2 = np.float32(S.HARRIS_SCALE) * np.float32(S.HARRIS_SCALE)
+    # 12-bit significands -> 24-bit exact products
+    sxx = _trunc_mantissa(s2 * box7(dx * dx).astype(jnp.float32), 12)
+    sxy = _trunc_mantissa(s2 * box7(dx * dy).astype(jnp.float32), 12)
+    syy = _trunc_mantissa(s2 * box7(dy * dy).astype(jnp.float32), 12)
+    # 11-bit trace -> 22-bit square; k = 3/64 (2-bit) -> exact k*tr^2
+    tr = _trunc_mantissa(sxx + syy, 13)
+    det = sxx * syy - sxy * sxy          # products exact; one rounding
+    return det - np.float32(S.HARRIS_K) * (tr * tr)  # exact q; one rounding
 
 
 # ---------------------------------------------------------------------------
@@ -98,11 +114,11 @@ def harris_response_int(img: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def radius_nms(resp_int: jax.Array, corner: jax.Array, radius: int) -> jax.Array:
+def radius_nms(resp: jax.Array, corner: jax.Array, radius: int) -> jax.Array:
     """Survivor mask: corner & (resp >= max over open disc).  Log-depth
-    decomposition into per-dy centered row max-filters, identical integers to
-    the oracle."""
-    masked = jnp.where(corner, resp_int, RESP_SENTINEL)
+    decomposition into per-dy centered row max-filters; float maxes are
+    order-free, so results are bit-identical to the oracle."""
+    masked = jnp.where(corner, resp, RESP_SENTINEL)
     h, w = masked.shape
     padded = jnp.pad(masked, ((0, 0), (radius, radius)),
                      constant_values=RESP_SENTINEL)
@@ -144,25 +160,19 @@ def radius_nms(resp_int: jax.Array, corner: jax.Array, radius: int) -> jax.Array
 # ---------------------------------------------------------------------------
 
 
-def select_topk(resp_int: jax.Array, survivor: jax.Array, quota: int):
+def select_topk(resp: jax.Array, survivor: jax.Array, quota: int):
     """Top `quota` survivors by (response desc, flat index asc).
 
     Returns (ys, xs, resp, valid) fixed-shape (quota,) arrays.  jax.lax.top_k
     is stable (ties resolved to the lowest index), matching the oracle's
     lexsort semantics exactly.
     """
-    h, w = resp_int.shape
-    masked = jnp.where(survivor, resp_int, RESP_SENTINEL).reshape(-1)
+    h, w = resp.shape
+    masked = jnp.where(survivor, resp, RESP_SENTINEL).reshape(-1)
     quota = min(quota, h * w)
     vals, idx = jax.lax.top_k(masked, quota)
     valid = vals != RESP_SENTINEL
     ys = (idx // w).astype(jnp.int32)
     xs = (idx % w).astype(jnp.int32)
     return (jnp.where(valid, ys, 0), jnp.where(valid, xs, 0),
-            jnp.where(valid, vals, 0), valid)
-
-
-def response_to_float(resp_int: jax.Array) -> jax.Array:
-    """User-visible float32 response (same scale as the reference's)."""
-    return (resp_int.astype(jnp.float64) *
-            np.float64(S.HARRIS_RESPONSE_SCALE)).astype(jnp.float32)
+            jnp.where(valid, vals, jnp.float32(0)), valid)

@@ -102,7 +102,7 @@ def detect_rows_sharded(image: jax.Array, cfg: P.FeatureConfig, mesh: Mesh,
         ext = jnp.concatenate([top_halo, band, bot_halo], axis=0)
 
         corner = OD.fast_corner_mask(ext, cfg.fast_threshold)
-        resp = OD.harris_response_int(ext)
+        resp = OD.harris_response(ext)
         surv = OD.radius_nms(resp, corner, cfg.nonmax_radius)
         # keep only detections in the owned band, inside the global border
         row_ids = jnp.arange(ext.shape[0]) - _HALO + i * bh
@@ -120,13 +120,13 @@ def detect_rows_sharded(image: jax.Array, cfg: P.FeatureConfig, mesh: Mesh,
         r_all = jax.lax.all_gather(jnp.where(v_l, r_l, OD.RESP_SENTINEL),
                                    axis).reshape(-1)
         # order by (resp desc, global flat index asc): sort two keys
-        flat = ys_all.astype(jnp.int64) * w + xs_all.astype(jnp.int64)
-        neg, idx_sorted, ys_s, xs_s = jax.lax.sort(
+        flat = ys_all.astype(jnp.int32) * w + xs_all.astype(jnp.int32)
+        neg, _, ys_s, xs_s = jax.lax.sort(
             (-r_all, flat, ys_all, xs_all), num_keys=2)
         r_s = -neg[:quota]
-        valid = r_s != -OD.RESP_SENTINEL
         valid = r_s > OD.RESP_SENTINEL
-        return ys_s[:quota], xs_s[:quota], jnp.where(valid, r_s, 0), valid
+        return (ys_s[:quota], xs_s[:quota],
+                jnp.where(valid, r_s, jnp.float32(0)), valid)
 
     sharded = jax.shard_map(band_fn, mesh=mesh, in_specs=(P_(axis, None),),
                             out_specs=(P_(None), P_(None), P_(None), P_(None)),

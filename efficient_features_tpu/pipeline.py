@@ -63,7 +63,7 @@ def _detect_level(img, quota, cfg: FeatureConfig):
         corner = corner & border
     else:
         corner = jnp.zeros((h, w), bool)
-    resp = ops_detect.harris_response_int(img)
+    resp = ops_detect.harris_response(img)
     surv = ops_detect.radius_nms(resp, corner, cfg.nonmax_radius)
     ys, xs, r, valid = ops_detect.select_topk(resp, surv, quota)
     ang = ops_orient.ic_angles(img, ys, xs, valid)
@@ -88,7 +88,7 @@ def detect_core(image: jax.Array, cfg: FeatureConfig):
         # scalePoints (cuda_efficient_features.cu:236-248): trunc(scale*x + 0.5)
         outs["x"].append(jnp.trunc(sc * xs.astype(jnp.float32) + np.float32(0.5)))
         outs["y"].append(jnp.trunc(sc * ys.astype(jnp.float32) + np.float32(0.5)))
-        outs["response"].append(ops_detect.response_to_float(r))
+        outs["response"].append(r)
         outs["angle"].append(ang)
         outs["octave"].append(jnp.full((quota,), s, jnp.int32))
         outs["size"].append(jnp.full((quota,), sc * np.float32(S.PATCH_SIZE),

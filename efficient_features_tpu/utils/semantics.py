@@ -28,6 +28,14 @@ Documented deviations from the CUDA reference (deterministic by design):
   3. Resize / Gaussian blur use 11/16-bit fixed-point integer filtering (OpenCV
      itself uses fixed-point for 8U), so pyramid levels are bit-exact across
      backends; the coefficients differ from OpenCV's at the last bit.
+  4. Harris response: Sobel and 7x7 structure-tensor sums are exact int32; the
+     det/trace float math quantizes operand significands (12 bits for the
+     tensor entries, 11 for the trace) and uses k = 3/64, so every multiply is
+     EXACT in f32.  Exact products are immune to FMA contraction, making the
+     response map bit-identical across NumPy / XLA-CPU / XLA-TPU regardless of
+     compiler codegen (plain f32 math differs in the last bit between backends,
+     which would make selection nondeterministic across them).  The ~0.05%
+     response quantization only coarsens corner *ranking* granularity.
 """
 from __future__ import annotations
 
@@ -39,10 +47,11 @@ import numpy as np
 PATCH_SIZE = 31
 HALF_PATCH_SIZE = 15
 HARRIS_BLOCK_SIZE = 7
-HARRIS_K_INV = 25            # k = 0.04 == 1/25, used exactly in integer form
+# Harris k: the reference uses 0.04 (cuda_efficient_features.cu:38); we use the
+# dyadic 3/64 = 0.046875 (2-bit significand) so k*tr^2 is EXACT in f32 — part
+# of the FMA-immune response formulation (deviation 4 below).
+HARRIS_K = 3.0 / 64.0
 HARRIS_SCALE = 1.0 / (4 * HARRIS_BLOCK_SIZE * 255)   # cuda_efficient_features.cu:103
-# user-visible float response = HARRIS_RESPONSE_SCALE * integer_response
-HARRIS_RESPONSE_SCALE = np.float32(HARRIS_SCALE) ** 4 / np.float32(HARRIS_K_INV)
 
 # Keypoint SoA row layout (cuda_efficient_features.h:32-37)
 LOCATION_ROW, RESPONSE_ROW, ANGLE_ROW, OCTAVE_ROW, SIZE_ROW, ROWS_COUNT = 0, 1, 2, 3, 4, 5

@@ -56,20 +56,23 @@ def brute_harris_float(img, y0, x0):
             syy += fdy * fdy
     det = sxx * syy - sxy * sxy
     tr = sxx + syy
-    return float(det - np.float32(0.04) * tr * tr)
+    return float(det - np.float32(S.HARRIS_K) * tr * tr)
 
 
-def test_harris_integer_monotone_matches_float():
+def test_harris_matches_reference_float():
     img = make_test_image(120, 160, seed=4)
-    resp = R.harris_response_int(img)
+    resp = R.harris_response(img)
     rng = np.random.default_rng(0)
     pts = [(int(rng.integers(16, 104)), int(rng.integers(16, 144)))
            for _ in range(50)]
     mine = np.array([resp[y, x] for y, x in pts], dtype=np.float64)
     ref = np.array([brute_harris_float(img, y, x) for y, x in pts])
-    scaled = mine * float(S.HARRIS_RESPONSE_SCALE)
-    # float reference accumulates in f32; allow relative tolerance
-    np.testing.assert_allclose(scaled, ref, rtol=2e-4, atol=1e-9)
+    # ours quantizes tensor entries to 12-bit significands (semantics
+    # deviation 4) and scales integer sums once; the reference accumulates
+    # scaled floats per-term — values agree to the quantization level
+    # cancellation in det amplifies the quantization slightly; 1% is the
+    # documented ranking granularity
+    np.testing.assert_allclose(mine, ref, rtol=1e-2, atol=1e-9)
 
 
 # ---------------------------------------------------------------------------
@@ -98,18 +101,18 @@ def brute_nms(resp, corner, radius):
 def test_radius_nms_matches_bruteforce(radius):
     img = make_test_image(120, 160, seed=5)
     corner = R.fast_corner_mask(img, 20)
-    resp = R.harris_response_int(img)
+    resp = R.harris_response(img)
     fast = R.radius_nms(resp, corner, radius)
     brute = brute_nms(np.where(corner, resp, R.RESP_SENTINEL), corner, radius)
     assert np.array_equal(fast, brute)
 
 
 def test_radius_nms_ties_cosurvive():
-    resp = np.full((40, 40), R.RESP_SENTINEL, dtype=np.int64)
+    resp = np.full((40, 40), R.RESP_SENTINEL, dtype=np.float32)
     corner = np.zeros((40, 40), bool)
     for y, x in [(10, 10), (10, 20), (30, 30)]:
         corner[y, x] = True
-        resp[y, x] = 100
+        resp[y, x] = 100.0
     surv = R.radius_nms(resp, corner, 15)
     # (10,10) and (10,20) are 10px apart with equal response: both survive
     assert surv[10, 10] and surv[10, 20] and surv[30, 30]

@@ -57,15 +57,15 @@ def test_fast_bit_exact(img):
 
 
 def test_harris_bit_exact(img):
-    a = R.harris_response_int(img)
-    b = np.asarray(OD.harris_response_int(jnp.asarray(img)))
+    a = R.harris_response(img)
+    b = np.asarray(OD.harris_response(jnp.asarray(img)))
     # compare only where the 9x9 support is in-bounds (detector masks borders)
     np.testing.assert_array_equal(a[5:-5, 5:-5], b[5:-5, 5:-5])
 
 
 def test_nms_bit_exact(img):
     corner = R.fast_corner_mask(img, 20)
-    resp = R.harris_response_int(img)
+    resp = R.harris_response(img)
     for radius in (3, 7, 15):
         a = R.radius_nms(resp, corner, radius)
         b = np.asarray(OD.radius_nms(jnp.asarray(resp), jnp.asarray(corner),
@@ -79,7 +79,7 @@ def test_topk_selection_identical(img):
     border = np.zeros_like(corner)
     border[15:-15, 15:-15] = True
     corner &= border
-    resp = R.harris_response_int(img)
+    resp = R.harris_response(img)
     surv = R.radius_nms(resp, corner, 15)
     ys, xs, r = R.select_topk(resp, surv, 500)
     jys, jxs, jr, jv = OD.select_topk(jnp.asarray(resp), jnp.asarray(surv), 500)
@@ -182,7 +182,7 @@ def test_end_to_end_detect_and_compute(img):
         if min(lv.shape) > 30:
             border[15:-15, 15:-15] = True
         corner &= border
-        resp = R.harris_response_int(lv)
+        resp = R.harris_response(lv)
         surv = R.radius_nms(resp, corner, cfg.nonmax_radius)
         ys, xs, r = R.select_topk(resp, surv, quotas[s])
         ang = R.ic_angles(lv, ys, xs)
