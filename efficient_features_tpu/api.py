@@ -127,8 +127,11 @@ class _DescriptorBase:
         padded[:n] = kp
         valid = np.zeros(cap, bool)
         valid[:n] = True
+        # window kernels need the descriptor support to fit the 31px margin
+        from .ops.window_kernels import max_window_size
+        windows_ok = bool(kp[:, 2].max() <= max_window_size(self._scale))
         out = P.compute_jit(img, jnp.asarray(padded), jnp.asarray(valid),
-                            self._nbits, self._kind, self._scale)
+                            self._nbits, self._kind, self._scale, windows_ok)
         return out[:n]
 
     def descriptor_size(self) -> int:

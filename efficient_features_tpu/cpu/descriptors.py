@@ -182,9 +182,23 @@ def warp_patches(image: np.ndarray, x, y, size, angle,
     p01 = im[vic, uic + 1]
     p10 = im[vic + 1, uic]
     p11 = im[vic + 1, uic + 1]
-    t0 = p00 + du * (p01 - p00)          # lerp via fma form (cuda_hash_sift.cu:88-91)
-    t1 = p10 + du * (p11 - p10)
-    t2 = t0 + dv * (t1 - t0)
+    # Horizontal weights split into bf16 hi+lo (16-bit significand) and
+    # applied as separate exact products — the TPU window kernel's MXU
+    # bilinear form (hi-matmul + lo-matmul; every product and inner sum exact
+    # in f32) — then the vertical lerp at full f32 on the VPU.  Patches are
+    # bit-identical across backends up to the final vertical lerp (two IEEE
+    # roundings on both sides).  The reference lerps at full precision; the
+    # 2^-16 weight quantization is a documented deviation.
+    from ..utils.semantics import bf16_round
+    wu1 = du
+    wu0 = np.float32(1.0) - du
+    h0 = bf16_round(wu0)
+    l0 = bf16_round(wu0 - h0)
+    h1 = bf16_round(wu1)
+    l1 = bf16_round(wu1 - h1)
+    z_top = (h0 * p00 + h1 * p01) + (l0 * p00 + l1 * p01)
+    z_bot = (h0 * p10 + h1 * p11) + (l0 * p10 + l1 * p11)
+    t2 = (np.float32(1.0) - dv) * z_top + dv * z_bot
     val = np.minimum(np.trunc(t2 + np.float32(0.5)), np.float32(255.0))
     return np.where(valid, val, 0).astype(np.uint8)
 

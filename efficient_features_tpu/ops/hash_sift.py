@@ -103,9 +103,21 @@ def warp_patches(image: jax.Array, x, y, size, angle,
     p01 = im[vic, uic + 1]
     p10 = im[vic + 1, uic]
     p11 = im[vic + 1, uic + 1]
-    t0 = p00 + du * (p01 - p00)
-    t1 = p10 + du * (p11 - p10)
-    t2 = t0 + dv * (t1 - t0)
+    # bf16 hi+lo horizontal weights — the window-kernel / oracle formulation
+    # (see cpu.descriptors.warp_patches), keeping this XLA fallback consistent
+    wu1 = du
+    wu0 = np.float32(1.0) - du
+
+    def bf16_split(wv):
+        hi = wv.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = (wv - hi).astype(jnp.bfloat16).astype(jnp.float32)
+        return hi, lo
+
+    h0, l0 = bf16_split(wu0)
+    h1, l1 = bf16_split(wu1)
+    z_top = (h0 * p00 + h1 * p01) + (l0 * p00 + l1 * p01)
+    z_bot = (h0 * p10 + h1 * p11) + (l0 * p10 + l1 * p11)
+    t2 = (np.float32(1.0) - dv) * z_top + dv * z_bot
     val = jnp.minimum(jnp.trunc(t2 + np.float32(0.5)), np.float32(255.0))
     return jnp.where(valid, val, 0.0)
 

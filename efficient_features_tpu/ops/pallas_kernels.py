@@ -1,0 +1,272 @@
+"""Pallas TPU kernels for the dense detection stages.
+
+Kernel 1 (fast_harris): fuses the reference's calcKeypointsKernel
+(cuda_fast.cu:168-222) and calcResponsesKernel (cuda_efficient_features.cu:
+218-225) into one tiled pass: per VMEM tile, FAST-9 segment test + exact-int
+Harris structure tensor + FMA-immune response quantization + border mask,
+emitting a dense f32 response map (-inf at non-corners).  One u8 read + one
+f32 write of HBM per pixel — the reference needs several kernel round trips
+plus two host count readbacks.
+
+Kernel 2 (radius_nms): disc max-filter over the response map (replacing the
+reference's grid-bucketed atomic NMS, cuda_efficient_features.cu:174-216),
+decomposed into per-dy centered row max-filters built from power-of-2 running
+maxima — all in VMEM, bit-identical to the oracle (float max is order-free).
+
+Halo handling: the input lives in HBM (BlockSpec memory_space=ANY) and each
+program DMAs its tile + halo into VMEM scratch — BlockSpec blocks cannot
+overlap, so automatic pipelining is traded for explicit halo copies.  Inputs
+are pre-padded so every halo load is in-bounds; true dimensions arrive as
+scalar prefetch and drive the border mask.  On non-TPU backends the kernels
+run in interpreter mode (used by the CPU-mesh test suite).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils import semantics as S
+
+NEG_INF = np.float32(-np.inf)
+
+_FH_HALO = 4        # FAST circle 3; Harris sobel(1) + window(3)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _trunc_mantissa(x, drop):
+    i = pltpu.bitcast(x, jnp.int32)
+    return pltpu.bitcast(i & jnp.int32(~((1 << drop) - 1)), jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 1: fused FAST + Harris
+# ---------------------------------------------------------------------------
+
+
+def _fast_harris_kernel(dims_ref, img_hbm, out_ref, win_ref, sem,
+                        *, threshold, tile_h, tile_w, halo_y, halo_x):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    ph = tile_h + 2 * halo_y
+    pw = tile_w + 2 * halo_x
+
+    copy = pltpu.make_async_copy(
+        img_hbm.at[pl.ds(ti * tile_h, ph), pl.ds(tj * tile_w, pw)],
+        win_ref, sem)
+    copy.start()
+    copy.wait()
+
+    win = win_ref[...].astype(jnp.int32)
+
+    def sh(dy, dx, hh, ww, oy, ox):
+        return jax.lax.slice(win, (oy + dy, ox + dx),
+                             (oy + dy + hh, ox + dx + ww))
+
+    # ---- FAST-9 ----
+    center = sh(0, 0, tile_h, tile_w, halo_y, halo_x)
+    hi = center + threshold
+    lo = center - threshold
+    brighter = jnp.zeros((tile_h, tile_w), jnp.int32)
+    darker = jnp.zeros((tile_h, tile_w), jnp.int32)
+    for bit, (dy, dx) in enumerate(S.FAST_CIRCLE):
+        v = sh(int(dy), int(dx), tile_h, tile_w, halo_y, halo_x)
+        brighter = brighter | ((v > hi).astype(jnp.int32) << bit)
+        darker = darker | ((v < lo).astype(jnp.int32) << bit)
+
+    def any_run9(m):
+        acc = m
+        for s in range(1, S.FAST_ARC_LEN):
+            acc = acc & (((m >> s) | (m << (16 - s))) & 0xFFFF)
+        return acc != 0
+
+    corner = any_run9(brighter) | any_run9(darker)
+
+    # ---- Harris (exact int32 sums, FMA-immune f32 combine) ----
+    eh = tile_h + 6
+    ew = tile_w + 6
+
+    def shd(dy, dx):
+        return sh(dy, dx, eh, ew, halo_y - 3, halo_x - 3)
+
+    gx = ((shd(1, 1) + 2 * shd(0, 1) + shd(-1, 1))
+          - (shd(1, -1) + 2 * shd(0, -1) + shd(-1, -1)))
+    gy = ((shd(1, -1) + 2 * shd(1, 0) + shd(1, 1))
+          - (shd(-1, -1) + 2 * shd(-1, 0) + shd(-1, 1)))
+
+    def box7(m):
+        rows = sum(jax.lax.slice(m, (0, 3 + d), (eh, 3 + d + tile_w))
+                   for d in range(-3, 4))
+        return sum(jax.lax.slice(rows, (3 + d, 0), (3 + d + tile_h, tile_w))
+                   for d in range(-3, 4))
+
+    s2 = np.float32(S.HARRIS_SCALE) * np.float32(S.HARRIS_SCALE)
+    sxx = _trunc_mantissa(s2 * box7(gx * gx).astype(jnp.float32), 12)
+    sxy = _trunc_mantissa(s2 * box7(gx * gy).astype(jnp.float32), 12)
+    syy = _trunc_mantissa(s2 * box7(gy * gy).astype(jnp.float32), 12)
+    tr = _trunc_mantissa(sxx + syy, 13)
+    resp = (sxx * syy - sxy * sxy) - np.float32(S.HARRIS_K) * (tr * tr)
+
+    # ---- border mask ----
+    true_h = dims_ref[0]
+    true_w = dims_ref[1]
+    gy_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0) \
+        + ti * tile_h
+    gx_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1) \
+        + tj * tile_w
+    b = S.HALF_PATCH_SIZE
+    inb = ((gy_ids >= b) & (gy_ids < true_h - b)
+           & (gx_ids >= b) & (gx_ids < true_w - b))
+
+    out_ref[...] = jnp.where(corner & inb, resp, NEG_INF)
+
+
+def _tile_dims(h, w):
+    # sized so that all live VMEM temporaries of the unrolled kernels fit
+    # comfortably under the ~16MB scoped VMEM budget
+    tile_h = min(128, max(8, -(-h // 8) * 8))
+    tile_w = min(512, max(128, -(-w // 128) * 128))
+    return tile_h, tile_w
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def fast_harris(image: jax.Array, threshold: int) -> jax.Array:
+    """Dense masked response map: f32, -inf where not a border-valid FAST
+    corner.  Bit-identical to where(corner & border, harris_response, -inf)
+    from the oracle."""
+    h, w = image.shape
+    tile_h, tile_w = _tile_dims(h, w)
+    gh = -(-h // tile_h)
+    gw = -(-w // tile_w)
+    # Mosaic DMA slices must be lane/sublane aligned: 8-row / 128-col halos
+    halo_y, halo_x = 8, 128
+    padded = jnp.pad(image, ((halo_y, gh * tile_h - h + halo_y),
+                             (halo_x, gw * tile_w - w + halo_x)))
+    dims = jnp.array([h, w], jnp.int32)
+
+    kernel = functools.partial(_fast_harris_kernel, threshold=threshold,
+                               tile_h=tile_h, tile_w=tile_w,
+                               halo_y=halo_y, halo_x=halo_x)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(gh, gw),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((tile_h + 2 * halo_y, tile_w + 2 * halo_x),
+                           jnp.uint8),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((gh * tile_h, gw * tile_w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(dims, padded)
+    return out[:h, :w]
+
+
+# ---------------------------------------------------------------------------
+# Kernel 2: radius NMS (disc max-filter)
+# ---------------------------------------------------------------------------
+
+
+def _nms_kernel(resp_hbm, out_ref, win_ref, sem, *, radius, tile_h, tile_w,
+                halo_y, halo_x):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    ph = tile_h + 2 * halo_y
+    pw = tile_w + 2 * halo_x
+
+    copy = pltpu.make_async_copy(
+        resp_hbm.at[pl.ds(ti * tile_h, ph), pl.ds(tj * tile_w, pw)],
+        win_ref, sem)
+    copy.start()
+    copy.wait()
+
+    a = win_ref[...]
+
+    # power-of-2 left-aligned running row maxima on the full (ph, pw) window
+    def shx(arr, k, width):
+        # out[y, x] = arr[y, x + k] over a width-`width` result
+        return jax.lax.slice(arr, (0, k), (ph, k + width))
+
+    pows = {1: a}
+    p = 1
+    while 2 * p <= 2 * radius + 1:
+        prev = pows[p]
+        wprev = prev.shape[1]
+        wnew = wprev - p
+        pows[2 * p] = jnp.maximum(
+            jax.lax.slice(prev, (0, 0), (ph, wnew)),
+            jax.lax.slice(prev, (0, p), (ph, p + wnew)))
+        p *= 2
+
+    center = jax.lax.slice(a, (halo_y, halo_x),
+                           (halo_y + tile_h, halo_x + tile_w))
+    disc_max = jnp.full((tile_h, tile_w), NEG_INF)
+    for dy, wdx in S.disc_row_extents(radius):
+        width = 2 * wdx + 1
+        k = 1
+        while k * 2 <= width:
+            k *= 2
+        left = pows[k]
+        if k != width:
+            wk = left.shape[1]
+            wnew = wk - (width - k)
+            left = jnp.maximum(
+                jax.lax.slice(left, (0, 0), (ph, wnew)),
+                jax.lax.slice(left, (0, width - k), (ph, width - k + wnew)))
+        # left[y, x] = max a[y, x : x + width]; center window starts at
+        # (halo_y + dy, halo_x - wdx) in window coords
+        contrib = jax.lax.slice(left, (halo_y + dy, halo_x - wdx),
+                                (halo_y + dy + tile_h, halo_x - wdx + tile_w))
+        disc_max = jnp.maximum(disc_max, contrib)
+
+    out_ref[...] = (center != NEG_INF) & (center >= disc_max)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def radius_nms(resp: jax.Array, radius: int) -> jax.Array:
+    """Survivor mask over a -inf-masked response map; ties co-survive."""
+    h, w = resp.shape
+    tile_h, tile_w = _tile_dims(h, w)
+    gh = -(-h // tile_h)
+    gw = -(-w // tile_w)
+    halo_y = -(-radius // 8) * 8
+    halo_x = 128
+    assert radius <= 128, "radius > 128 unsupported by the Pallas NMS kernel"
+    padded = jnp.pad(resp, ((halo_y, gh * tile_h - h + halo_y),
+                            (halo_x, gw * tile_w - w + halo_x)),
+                     constant_values=NEG_INF)
+
+    kernel = functools.partial(_nms_kernel, radius=radius,
+                               tile_h=tile_h, tile_w=tile_w,
+                               halo_y=halo_y, halo_x=halo_x)
+    out = pl.pallas_call(
+        kernel,
+        grid=(gh, gw),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2 * halo_y, tile_w + 2 * halo_x),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        out_shape=jax.ShapeDtypeStruct((gh * tile_h, gw * tile_w), bool),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(padded)
+    return out[:h, :w]

@@ -21,13 +21,23 @@ import jax
 import jax.numpy as jnp
 
 from .utils import semantics as S
+from .models.params import load_hash_sift_matrix
 from .ops import image as ops_image
 from .ops import detect as ops_detect
 from .ops import orientation as ops_orient
 from .ops import bad as ops_bad
 from .ops import hash_sift as ops_hs
+from .ops import pallas_kernels as PK
+from .ops import window_kernels as WK
 
 DESCRIPTOR_TYPES = ("bad_256", "bad_512", "hash_sift_256", "hash_sift_512")
+
+
+def _use_pallas() -> bool:
+    """Pallas kernels are the production TPU path; the CPU test mesh uses the
+    (bit-identical) XLA formulations to avoid interpreter-mode grids.
+    Interpret-mode kernel parity is covered by dedicated tests."""
+    return jax.default_backend() == "tpu"
 
 
 @dataclass(frozen=True)
@@ -56,6 +66,12 @@ class FeatureConfig:
 def _detect_level(img, quota, cfg: FeatureConfig):
     """One pyramid level: FAST -> Harris -> NMS -> top-k -> angles."""
     h, w = img.shape
+    if _use_pallas() and min(h, w) > 2 * S.HALF_PATCH_SIZE:
+        resp_masked = PK.fast_harris(img, cfg.fast_threshold)
+        surv = PK.radius_nms(resp_masked, cfg.nonmax_radius)
+        ys, xs, r, valid = ops_detect.select_topk(resp_masked, surv, quota)
+        ang = WK.ic_angles_windows(img, ys, xs, valid)
+        return ys, xs, r, ang, valid
     corner = ops_detect.fast_corner_mask(img, cfg.fast_threshold)
     b = S.HALF_PATCH_SIZE
     if h > 2 * b and w > 2 * b:
@@ -102,6 +118,30 @@ def detect_core(image: jax.Array, cfg: FeatureConfig):
     return slots, levels, per_level
 
 
+def _compute_descriptors(image, x, y, size, ang, valid, kind, nbits, scale,
+                         windows_ok: bool):
+    """Descriptor dispatch: window kernels on TPU (detect-sized keypoints),
+    XLA gather path otherwise."""
+    if _use_pallas() and windows_ok:
+        if kind == "bad":
+            return WK.bad_descriptors_windows(image, x, y, size, ang, valid,
+                                              nbits, scale)
+        patches = WK.warp_patches_windows(image, x, y, size, ang, valid,
+                                          scale).reshape(-1, 32, 32)
+        responses = ops_hs.patch_sift_responses(patches)
+        B = jnp.asarray(load_hash_sift_matrix(nbits))
+        proj = jnp.dot(responses, B.T, preferred_element_type=jnp.float32,
+                       precision="highest")
+        bits = jnp.where(valid[:, None], (proj > 0).astype(jnp.int32), 0)
+        return ops_bad.pack_bits_msb(bits)
+    if kind == "bad":
+        integral = ops_image.integral_image_i32(image)
+        return ops_bad.bad_descriptors(integral, x, y, size, ang, valid,
+                                       nbits=nbits, scale_factor=scale)
+    return ops_hs.hash_sift_descriptors(image, x, y, size, ang, valid,
+                                        nbits=nbits, cropping_scale=scale)
+
+
 def _compute_level_descriptors(blurred, ys, xs, ang, valid, cfg: FeatureConfig):
     """Descriptors for one level's slots, on the blurred level image, with
     keypoints (x, y, size=31, angle) in level coordinates
@@ -110,12 +150,9 @@ def _compute_level_descriptors(blurred, ys, xs, ang, valid, cfg: FeatureConfig):
     y = ys.astype(jnp.float32)
     size = jnp.full(x.shape, np.float32(S.PATCH_SIZE), jnp.float32)
     kind, bits = cfg.descriptor_type.rsplit("_", 1)
-    if kind == "bad":
-        integral = ops_image.integral_image_i32(blurred)
-        return ops_bad.bad_descriptors(integral, x, y, size, ang, valid,
-                                       nbits=int(bits), scale_factor=1.0)
-    return ops_hs.hash_sift_descriptors(blurred, x, y, size, ang, valid,
-                                        nbits=int(bits), cropping_scale=1.0)
+    # detect-path keypoints are size=31, scale=1 — always window-safe
+    return _compute_descriptors(blurred, x, y, size, ang, valid,
+                                kind, int(bits), 1.0, windows_ok=True)
 
 
 def detect_and_compute_core(image: jax.Array, cfg: FeatureConfig,
@@ -151,17 +188,15 @@ def detect_and_compute_jit(image, cfg: FeatureConfig):
     return slots, descs
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def compute_jit(image, keypoints_xysa, valid, nbits: int, kind: str,
-                scale: float):
+                scale: float, windows_ok: bool = True):
     """Standalone descriptor computation on user keypoints (BAD/HashSIFT
     compute(), cuda_bad.cpp:46-70 / cuda_hash_sift.cpp:113-137) — on the raw
-    image (no blur), matching the reference."""
+    image (no blur), matching the reference.  `windows_ok` is decided by the
+    API layer from max keypoint size (window kernels need boxes/patches to fit
+    the 31px window margin)."""
     x, y, size, ang = (keypoints_xysa[:, 0], keypoints_xysa[:, 1],
                        keypoints_xysa[:, 2], keypoints_xysa[:, 3])
-    if kind == "bad":
-        integral = ops_image.integral_image_i32(image)
-        return ops_bad.bad_descriptors(integral, x, y, size, ang, valid,
-                                       nbits=nbits, scale_factor=scale)
-    return ops_hs.hash_sift_descriptors(image, x, y, size, ang, valid,
-                                        nbits=nbits, cropping_scale=scale)
+    return _compute_descriptors(image, x, y, size, ang, valid,
+                                kind, nbits, scale, windows_ok)

@@ -1,0 +1,87 @@
+"""Pallas kernel parity tests (interpreter mode on the CPU mesh).
+
+The production TPU path runs these kernels compiled; here they run through the
+Pallas interpreter against the oracle.  The same checks were validated
+compiled on a real TPU chip (bit-identical results).
+"""
+import numpy as np
+import pytest
+
+import efficient_features_tpu  # noqa: F401
+import jax.numpy as jnp
+
+from efficient_features_tpu.cpu import reference as R
+from efficient_features_tpu.cpu import descriptors as DC
+from efficient_features_tpu.ops import pallas_kernels as PK
+from efficient_features_tpu.ops import window_kernels as WK
+
+from util import make_test_image, make_keypoints
+
+
+@pytest.fixture(scope="module")
+def img():
+    return make_test_image(200, 280, seed=33)
+
+
+def test_fast_harris_kernel_bit_exact(img):
+    h, w = img.shape
+    border = np.zeros((h, w), bool)
+    border[15:-15, 15:-15] = True
+    corner = R.fast_corner_mask(img, 20) & border
+    expect = np.where(corner, R.harris_response(img), np.float32(-np.inf))
+    got = np.asarray(PK.fast_harris(jnp.asarray(img), 20))
+    np.testing.assert_array_equal(expect, got)
+
+
+def test_nms_kernel_bit_exact(img):
+    h, w = img.shape
+    border = np.zeros((h, w), bool)
+    border[15:-15, 15:-15] = True
+    corner = R.fast_corner_mask(img, 20) & border
+    resp = R.harris_response(img)
+    masked = np.where(corner, resp, np.float32(-np.inf))
+    for radius in (7, 15):
+        expect = R.radius_nms(resp, corner, radius)
+        got = np.asarray(PK.radius_nms(jnp.asarray(masked), radius))
+        np.testing.assert_array_equal(expect, got)
+
+
+def test_bad_window_kernel_exact(img):
+    h, w = img.shape
+    x, y, size, angle = make_keypoints(h, w, 16, seed=4)
+    x[:4] = [1, w - 5, 5, w / 2]
+    y[:4] = [2, 3, h - 5, 1]
+    valid = np.ones(16, bool)
+    for nbits in (256, 512):
+        a = DC.bad_descriptors(img, x, y, size, angle, nbits=nbits)
+        b = np.asarray(WK.bad_descriptors_windows(
+            jnp.asarray(img), jnp.asarray(x), jnp.asarray(y),
+            jnp.asarray(size), jnp.asarray(angle), jnp.asarray(valid),
+            nbits, 1.0))
+        budget = int(2e-5 * a.size) + 1
+        assert (a != b).sum() <= budget
+
+
+def test_warp_window_kernel_exact(img):
+    h, w = img.shape
+    x, y, size, angle = make_keypoints(h, w, 12, seed=5)
+    valid = np.ones(12, bool)
+    a = DC.warp_patches(img, x, y, size, angle, 1.0)
+    b = np.asarray(WK.warp_patches_windows(
+        jnp.asarray(img), jnp.asarray(x), jnp.asarray(y), jnp.asarray(size),
+        jnp.asarray(angle), jnp.asarray(valid), 1.0)).reshape(12, 32, 32)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+    assert (a != b).mean() < 1e-3
+
+
+def test_ic_window_kernel_exact(img):
+    h, w = img.shape
+    rng = np.random.default_rng(2)
+    ys = rng.integers(15, h - 15, 20).astype(np.int32)
+    xs = rng.integers(15, w - 15, 20).astype(np.int32)
+    valid = np.ones(20, bool)
+    a = R.ic_angles(img, ys, xs)
+    b = np.asarray(WK.ic_angles_windows(jnp.asarray(img), jnp.asarray(ys),
+                                        jnp.asarray(xs), jnp.asarray(valid)))
+    d = np.abs(a - b)
+    assert np.minimum(d, 360 - d).max() < 1e-3
