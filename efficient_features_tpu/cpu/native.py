@@ -1,0 +1,106 @@
+"""ctypes bindings for the native C++ CPU backend (native/libeff_cpu.so).
+
+The native module mirrors the reference's C++ CPU module
+(modules/efficient_features) with our exact semantics — FAST/integral/BAD are
+bit-identical to the NumPy oracle and the TPU kernels; the HashSIFT warp can
+differ on rare pixels by one gray level where libm's cosf/sinf differ from
+NumPy's by an ULP (same class of difference the descriptor error budgets
+absorb).  It is optional: `available()` is False until `make -C native` has
+been run (or build() is called), and callers fall back to the NumPy oracle.
+"""
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from ..models.params import load_bad_params
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_SO = _NATIVE_DIR / "libeff_cpu.so"
+_lib = None
+
+
+def build() -> None:
+    subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                   capture_output=True)
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _SO.exists():
+        raise FileNotFoundError(
+            f"{_SO} not built; run `make -C native` or native.build()")
+    lib = ctypes.CDLL(str(_SO))
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    c_int = ctypes.c_int
+    c_float = ctypes.c_float
+    lib.eff_fast_mask.argtypes = [u8p, c_int, c_int, c_int, u8p]
+    lib.eff_integral.argtypes = [u8p, c_int, c_int, i32p]
+    lib.eff_bad.argtypes = [u8p, c_int, c_int, i32p, f32p, c_int, c_float,
+                            i32p, f32p, c_int, u8p]
+    lib.eff_warp_patches.argtypes = [u8p, c_int, c_int, f32p, c_int, c_float,
+                                     u8p]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except (FileNotFoundError, OSError):
+        return False
+
+
+def fast_corner_mask(img: np.ndarray, threshold: int) -> np.ndarray:
+    lib = _load()
+    img = np.ascontiguousarray(img, np.uint8)
+    out = np.zeros(img.shape, np.uint8)
+    lib.eff_fast_mask(img, img.shape[0], img.shape[1], threshold, out)
+    return out.astype(bool)
+
+
+def integral_image_i32(img: np.ndarray) -> np.ndarray:
+    lib = _load()
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w = img.shape
+    out = np.zeros((h + 1, w + 1), np.int32)
+    lib.eff_integral(img, h, w, out)
+    return out
+
+
+def bad_descriptors(img: np.ndarray, x, y, size, angle, *, nbits=256,
+                    scale_factor=1.0) -> np.ndarray:
+    lib = _load()
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w = img.shape
+    integral = integral_image_i32(img)
+    kps = np.ascontiguousarray(
+        np.stack([x, y, size, angle], axis=1), np.float32)
+    n = kps.shape[0]
+    boxes, th = load_bad_params(nbits)
+    out = np.zeros((n, nbits // 8), np.uint8)
+    lib.eff_bad(img, h, w, integral, kps, n, np.float32(scale_factor),
+                np.ascontiguousarray(boxes, np.int32),
+                np.ascontiguousarray(th, np.float32), nbits, out)
+    return out
+
+
+def warp_patches(img: np.ndarray, x, y, size, angle,
+                 cropping_scale=1.0) -> np.ndarray:
+    lib = _load()
+    img = np.ascontiguousarray(img, np.uint8)
+    kps = np.ascontiguousarray(
+        np.stack([x, y, size, angle], axis=1), np.float32)
+    n = kps.shape[0]
+    out = np.zeros((n, 32, 32), np.uint8)
+    lib.eff_warp_patches(img, img.shape[0], img.shape[1], kps, n,
+                         np.float32(cropping_scale), out)
+    return out

@@ -1,0 +1,206 @@
+// Native CPU backend for efficient_features_tpu.
+//
+// Plays the role of the reference's C++ CPU module modules/efficient_features
+// (bit-compatible CPU implementations used for parity testing and CPU-only
+// deployments).  Semantics follow efficient_features_tpu/utils/semantics.py
+// exactly: integer FAST-9, integer box sums for BAD, and the bf16 hi+lo
+// quantized bilinear warp for HashSIFT, so outputs are bit-identical to both
+// the NumPy oracle and the TPU kernels.
+//
+// Learned constants (BAD boxes/thresholds, HashSIFT projection) are passed in
+// from Python (loaded from the .npz assets) — no baked-in tables.
+//
+// Build: make -C native   (produces libeff_cpu.so; loaded via ctypes)
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <algorithm>
+
+namespace {
+
+constexpr float kDeg2Rad = 0.017453292519943295f;
+constexpr float kMargin = 1.75f;
+
+// FAST-9 circle in circular bit order (cuda_fast.cu byte packing)
+const int kCircle[16][2] = {
+    {3, 0},  {3, 1},   {2, 2},   {1, 3},  {0, 3},  {-1, 3}, {-2, 2}, {-3, 1},
+    {-3, 0}, {-3, -1}, {-2, -2}, {-1, -3}, {0, -3}, {1, -3}, {2, -2}, {3, -1}};
+
+inline bool any_run9(uint32_t m) {
+  uint32_t acc = m;
+  for (int s = 1; s < 9; ++s) {
+    acc &= ((m >> s) | (m << (16 - s))) & 0xFFFFu;
+  }
+  return acc != 0;
+}
+
+// round-half-even f32 -> bf16 (kept in f32), mirroring semantics.bf16_round
+inline float bf16_round(float x) {
+  uint32_t i;
+  std::memcpy(&i, &x, 4);
+  uint32_t r = i + 0x7FFFu + ((i >> 16) & 1u);
+  r &= 0xFFFF0000u;
+  float out;
+  std::memcpy(&out, &r, 4);
+  return out;
+}
+
+struct Affine {
+  float s, cost, sint, m02, m12;
+};
+
+// getAffineTransform scalars (cuda_hash_sift.cu:136-155), s folded in
+inline Affine affine_scalars(float kx, float ky, float ksize, float kang,
+                             float scale) {
+  Affine a;
+  a.s = scale * ksize / 32.0f;
+  const float theta = kang * kDeg2Rad;
+  const float c = (kang >= 0) ? std::cos(theta) : 1.0f;
+  const float sn = (kang >= 0) ? std::sin(theta) : 0.0f;
+  a.cost = c * a.s;
+  a.sint = sn * a.s;
+  a.m02 = (-a.cost + a.sint) * 16.0f + kx;
+  a.m12 = (-a.sint - a.cost) * 16.0f + ky;
+  return a;
+}
+
+inline int rnd_trunc(float v) { return static_cast<int>(v + 0.5f); }
+
+}  // namespace
+
+extern "C" {
+
+// Dense FAST-9 corner mask (domain [3, dim-3); caller applies border masks).
+void eff_fast_mask(const uint8_t* img, int h, int w, int threshold,
+                   uint8_t* out) {
+  std::memset(out, 0, static_cast<size_t>(h) * w);
+  for (int y = 3; y < h - 3; ++y) {
+    for (int x = 3; x < w - 3; ++x) {
+      const int v = img[y * w + x];
+      const int hi = v + threshold;
+      const int lo = v - threshold;
+      uint32_t brighter = 0, darker = 0;
+      for (int b = 0; b < 16; ++b) {
+        const int p = img[(y + kCircle[b][0]) * w + x + kCircle[b][1]];
+        brighter |= static_cast<uint32_t>(p > hi) << b;
+        darker |= static_cast<uint32_t>(p < lo) << b;
+      }
+      out[y * w + x] = any_run9(brighter) || any_run9(darker);
+    }
+  }
+}
+
+// (h+1)x(w+1) int32 integral, zero top/left, wrapping overflow
+void eff_integral(const uint8_t* img, int h, int w, int32_t* out) {
+  const int W = w + 1;
+  std::memset(out, 0, sizeof(int32_t) * W);
+  for (int y = 0; y < h; ++y) {
+    out[(y + 1) * W] = 0;
+    int32_t row = 0;
+    for (int x = 0; x < w; ++x) {
+      row += img[y * w + x];
+      out[(y + 1) * W + x + 1] = out[y * W + x + 1] + row;
+    }
+  }
+}
+
+// BAD descriptors (cuda_bad.cu semantics; see cpu/descriptors.py)
+void eff_bad(const uint8_t* img, int h, int w, const int32_t* integral,
+             const float* kps_xysa, int n, float scale_factor,
+             const int32_t* boxes /* nbits x 5 */, const float* thresholds,
+             int nbits, uint8_t* out /* n x nbits/8 */) {
+  const int fw = w + 1, fh = h + 1;
+  const int nbytes = nbits / 8;
+  for (int i = 0; i < n; ++i) {
+    const float kx = kps_xysa[4 * i], ky = kps_xysa[4 * i + 1];
+    const float ksize = kps_xysa[4 * i + 2], kang = kps_xysa[4 * i + 3];
+    const Affine A = affine_scalars(kx, ky, ksize, kang, scale_factor);
+
+    const float sb = scale_factor * ksize / 64.0f;
+    const float bw = 32.0f * sb * kMargin;
+    const bool in_border = (kx < bw) || (kx + bw >= static_cast<float>(w)) ||
+                           (ky < bw) || (ky + bw >= static_cast<float>(h));
+
+    uint8_t* dst = out + static_cast<size_t>(i) * nbytes;
+    std::memset(dst, 0, nbytes);
+    for (int b = 0; b < nbits; ++b) {
+      const float x1 = static_cast<float>(boxes[5 * b + 0]);
+      const float x2 = static_cast<float>(boxes[5 * b + 1]);
+      const float y1 = static_cast<float>(boxes[5 * b + 2]);
+      const float y2 = static_cast<float>(boxes[5 * b + 3]);
+      const float br = static_cast<float>(boxes[5 * b + 4]);
+      const int tx1 = rnd_trunc(A.cost * x1 - A.sint * y1 + A.m02);
+      const int ty1 = rnd_trunc(A.sint * x1 + A.cost * y1 + A.m12);
+      const int tx2 = rnd_trunc(A.cost * x2 - A.sint * y2 + A.m02);
+      const int ty2 = rnd_trunc(A.sint * x2 + A.cost * y2 + A.m12);
+      const int tbr = rnd_trunc(A.s * br);
+
+      bool bit;
+      if (in_border) {
+        auto box_avg = [&](int cx, int cy) {
+          const int bx1 = std::clamp(cx - tbr, 0, fw - 2);
+          const int by1 = std::clamp(cy - tbr, 0, fh - 2);
+          const int bx2 = std::clamp(cx + tbr + 1, 1, fw - 1);
+          const int by2 = std::clamp(cy + tbr + 1, 1, fh - 1);
+          const int32_t s =
+              integral[by1 * fw + bx1] + integral[by2 * fw + bx2] -
+              integral[by1 * fw + bx2] - integral[by2 * fw + bx1];
+          return static_cast<float>(s) /
+                 static_cast<float>((by2 - by1) * (bx2 - bx1));
+        };
+        bit = (box_avg(tx1, ty1) - box_avg(tx2, ty2)) <= thresholds[b];
+      } else {
+        auto box_sum = [&](int cx, int cy) {
+          const int bx1 = cx - tbr, by1 = cy - tbr;
+          const int bx2 = cx + tbr + 1, by2 = cy + tbr + 1;
+          return integral[by1 * fw + bx1] + integral[by2 * fw + bx2] -
+                 integral[by1 * fw + bx2] - integral[by2 * fw + bx1];
+        };
+        const int32_t resp = box_sum(tx1, ty1) - box_sum(tx2, ty2);
+        const float side = static_cast<float>(1 + 2 * tbr);
+        bit = static_cast<float>(resp) <= thresholds[b] * (side * side);
+      }
+      dst[b / 8] |= static_cast<uint8_t>(bit) << (7 - b % 8);
+    }
+  }
+}
+
+// HashSIFT warped patches, bf16 hi+lo horizontal weights (see
+// cpu/descriptors.py warp_patches) — (n, 32, 32) u8 out
+void eff_warp_patches(const uint8_t* img, int h, int w,
+                      const float* kps_xysa, int n, float cropping_scale,
+                      uint8_t* out) {
+  for (int i = 0; i < n; ++i) {
+    const Affine A = affine_scalars(kps_xysa[4 * i], kps_xysa[4 * i + 1],
+                                    kps_xysa[4 * i + 2], kps_xysa[4 * i + 3],
+                                    cropping_scale);
+    uint8_t* patch = out + static_cast<size_t>(i) * 1024;
+    for (int py = 0; py < 32; ++py) {
+      for (int px = 0; px < 32; ++px) {
+        const float u = A.cost * px - A.sint * py + A.m02;
+        const float v = A.sint * px + A.cost * py + A.m12;
+        const int ui = static_cast<int>(std::floor(u));
+        const int vi = static_cast<int>(std::floor(v));
+        uint8_t val = 0;
+        if (ui >= 0 && ui + 1 < w && vi >= 0 && vi + 1 < h) {
+          const float du = u - static_cast<float>(ui);
+          const float dv = v - static_cast<float>(vi);
+          const float p00 = img[vi * w + ui], p01 = img[vi * w + ui + 1];
+          const float p10 = img[(vi + 1) * w + ui];
+          const float p11 = img[(vi + 1) * w + ui + 1];
+          const float wu0 = 1.0f - du;
+          const float h0 = bf16_round(wu0), l0 = bf16_round(wu0 - h0);
+          const float h1 = bf16_round(du), l1 = bf16_round(du - h1);
+          const float z_top = (h0 * p00 + h1 * p01) + (l0 * p00 + l1 * p01);
+          const float z_bot = (h0 * p10 + h1 * p11) + (l0 * p10 + l1 * p11);
+          const float t2 = (1.0f - dv) * z_top + dv * z_bot;
+          val = static_cast<uint8_t>(
+              std::min(static_cast<int>(t2 + 0.5f), 255));
+        }
+        patch[py * 32 + px] = val;
+      }
+    }
+  }
+}
+
+}  // extern "C"

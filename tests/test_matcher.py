@@ -1,0 +1,48 @@
+"""Hamming matcher tests vs NumPy brute force."""
+import numpy as np
+
+import efficient_features_tpu  # noqa: F401
+import jax.numpy as jnp
+
+from efficient_features_tpu.ops import matcher
+
+
+def np_hamming(d1, d2):
+    b1 = np.unpackbits(d1, axis=1)
+    b2 = np.unpackbits(d2, axis=1)
+    return (b1[:, None, :] != b2[None, :, :]).sum(axis=2)
+
+
+def test_hamming_matrix_exact():
+    rng = np.random.default_rng(0)
+    d1 = rng.integers(0, 256, (37, 32), dtype=np.uint8)
+    d2 = rng.integers(0, 256, (53, 32), dtype=np.uint8)
+    expect = np_hamming(d1, d2)
+    got = np.asarray(matcher.hamming_matrix(jnp.asarray(d1), jnp.asarray(d2)))
+    np.testing.assert_array_equal(expect, got)
+
+
+def test_cross_check_match():
+    rng = np.random.default_rng(1)
+    d2 = rng.integers(0, 256, (40, 32), dtype=np.uint8)
+    # queries = noisy copies of train rows -> should match back
+    d1 = d2.copy()
+    d1[:, 0] ^= 1  # flip one bit
+    j, dist, valid = matcher.match(jnp.asarray(d1), jnp.asarray(d2))
+    j, dist, valid = map(np.asarray, (j, dist, valid))
+    assert (j[valid] == np.arange(40)[valid]).all()
+    assert (dist[valid] == 1).all()
+    assert valid.mean() > 0.9
+
+
+def test_knn_ratio_match():
+    rng = np.random.default_rng(2)
+    d2 = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    d1 = d2[:32].copy()
+    j, best, ok = matcher.knn2_ratio_match(jnp.asarray(d1), jnp.asarray(d2),
+                                           0.8)
+    j, best, ok = map(np.asarray, (j, best, ok))
+    # exact copies: distance 0, ratio 0 <= 0.8 * second -> kept
+    assert (j[ok] == np.arange(32)[ok]).all()
+    assert (best[ok] == 0).all()
+    assert ok.sum() > 25

@@ -1,0 +1,52 @@
+"""Native C++ backend parity vs the NumPy oracle."""
+import numpy as np
+import pytest
+
+from efficient_features_tpu.cpu import native as NT
+from efficient_features_tpu.cpu import reference as R
+from efficient_features_tpu.cpu import descriptors as DC
+
+from util import make_test_image, make_keypoints
+
+if not NT.available():
+    try:
+        NT.build()
+    except Exception:
+        pass
+
+pytestmark = pytest.mark.skipif(not NT.available(),
+                                reason="native module not built")
+
+
+def test_native_fast_identical():
+    img = make_test_image(200, 260, seed=41)
+    assert np.array_equal(R.fast_corner_mask(img, 20),
+                          NT.fast_corner_mask(img, 20))
+
+
+def test_native_integral_identical():
+    img = make_test_image(120, 200, seed=42)
+    assert np.array_equal(R.integral_image_i32(img),
+                          NT.integral_image_i32(img))
+
+
+@pytest.mark.parametrize("nbits", [256, 512])
+def test_native_bad_identical(nbits):
+    img = make_test_image(220, 300, seed=43)
+    x, y, size, angle = make_keypoints(220, 300, 60, seed=7)
+    x[:3] = [1, 296, 150]
+    y[:3] = [2, 216, 1]
+    a = DC.bad_descriptors(img, x, y, size, angle, nbits=nbits)
+    b = NT.bad_descriptors(img, x, y, size, angle, nbits=nbits)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_native_warp_close():
+    img = make_test_image(220, 300, seed=44)
+    x, y, size, angle = make_keypoints(220, 300, 60, seed=8)
+    a = DC.warp_patches(img, x, y, size, angle, 1.0)
+    b = NT.warp_patches(img, x, y, size, angle, 1.0)
+    d = np.abs(a.astype(int) - b.astype(int))
+    # libm trig ULPs can flip isolated pixels by one gray level
+    assert d.max() <= 1
+    assert (d != 0).mean() < 1e-3
