@@ -230,6 +230,21 @@ class EfficientFeatures:
         cuda_efficient_features.cpp:323-349)."""
         return keypoints.cv_keypoints()
 
+    # -- multi-chip scaling (no reference analogue: it is single-GPU) --------
+
+    def detect_and_compute_batch(self, images, mesh=None):
+        """Batched detect+compute with the batch axis sharded over a device
+        mesh (dp).  images: (B, H, W) uint8, B divisible by the mesh size.
+        Returns (slot dict with leading batch dim, descriptors) sharded on
+        device; see parallel/sharding.py."""
+        from .parallel import sharding as SH
+        images = np.asarray(images)
+        if images.ndim != 3 or images.dtype != np.uint8:
+            raise ValueError("images must be (B, H, W) uint8")
+        mesh = mesh or SH.make_mesh()
+        return SH.detect_and_compute_batch(
+            SH.shard_batch(images, mesh), self._cfg, mesh)
+
     @staticmethod
     def _check_mask(mask):
         if mask is not None:

@@ -70,7 +70,9 @@ def detect_and_compute_batch(images: jax.Array, cfg: P.FeatureConfig,
 # sp: one image row-sharded with halo exchange
 # ---------------------------------------------------------------------------
 
-_HALO = 16  # > max(FAST margin 3, Harris support 5, NMS radius 15)
+# Halo: an owned pixel's NMS disc reaches |dy| <= 14 into the halo, and those
+# neighbours need their own correct FAST (+3) / Harris (+4) support: >= 18.
+_HALO = 24
 
 
 def detect_rows_sharded(image: jax.Array, cfg: P.FeatureConfig, mesh: Mesh,
@@ -102,15 +104,21 @@ def detect_rows_sharded(image: jax.Array, cfg: P.FeatureConfig, mesh: Mesh,
         ext = jnp.concatenate([top_halo, band, bot_halo], axis=0)
 
         corner = OD.fast_corner_mask(ext, cfg.fast_threshold)
+        # the global border mask applies BEFORE NMS: border-excluded corners
+        # never enter the candidate set (createMask feeds the FAST kernel,
+        # cuda_efficient_features.cpp:250,259) and so cannot suppress anyone
+        row_ids = jnp.arange(ext.shape[0]) - _HALO + i * bh
+        gborder = (row_ids >= S.HALF_PATCH_SIZE) & \
+                  (row_ids < h - S.HALF_PATCH_SIZE)
+        col_ok = jnp.zeros((w,), bool).at[
+            S.HALF_PATCH_SIZE:w - S.HALF_PATCH_SIZE].set(True)
+        corner = corner & gborder[:, None] & col_ok[None, :]
         resp = OD.harris_response(ext)
         surv = OD.radius_nms(resp, corner, cfg.nonmax_radius)
-        # keep only detections in the owned band, inside the global border
-        row_ids = jnp.arange(ext.shape[0]) - _HALO + i * bh
+        # keep only detections in the owned band
         owned = (jnp.arange(ext.shape[0]) >= _HALO) & \
                 (jnp.arange(ext.shape[0]) < _HALO + bh)
-        gborder = (row_ids >= S.HALF_PATCH_SIZE) & (row_ids < h - S.HALF_PATCH_SIZE)
-        col_ok = jnp.zeros((w,), bool).at[S.HALF_PATCH_SIZE:w - S.HALF_PATCH_SIZE].set(True)
-        surv = surv & (owned & gborder)[:, None] & col_ok[None, :]
+        surv = surv & owned[:, None]
 
         ys_l, xs_l, r_l, v_l = OD.select_topk(resp, surv, quota)
         ys_g = jnp.where(v_l, ys_l - _HALO + i * bh, 0)

@@ -1,0 +1,59 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+import numpy as np
+
+import efficient_features_tpu  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from efficient_features_tpu import pipeline as P
+from efficient_features_tpu.parallel import sharding as SH
+from efficient_features_tpu.cpu import reference as R
+from efficient_features_tpu.ops import detect as OD
+
+from util import make_test_image
+
+
+def test_dp_batch_matches_single_image():
+    assert len(jax.devices()) >= 8
+    mesh = SH.make_mesh(8)
+    cfg = P.FeatureConfig(nfeatures=300, nlevels=3,
+                          descriptor_type="bad_256")
+    images = np.stack([make_test_image(96, 128, seed=100 + i)
+                       for i in range(8)])
+    slots, descs = SH.detect_and_compute_batch(
+        SH.shard_batch(images, mesh), cfg, mesh)
+    slots = {k: np.asarray(v) for k, v in slots.items()}
+    descs = np.asarray(descs)
+
+    for i in range(8):
+        s1, d1 = P.detect_and_compute_jit(jnp.asarray(images[i]), cfg)
+        s1 = {k: np.asarray(v) for k, v in s1.items()}
+        assert int(slots["count"][i]) == int(s1["count"])
+        np.testing.assert_array_equal(slots["x"][i], s1["x"])
+        np.testing.assert_array_equal(descs[i], np.asarray(d1))
+
+
+def test_sp_rows_sharded_matches_dense():
+    assert len(jax.devices()) >= 8
+    mesh = SH.make_mesh(8)
+    cfg = P.FeatureConfig(nfeatures=128, fast_threshold=20, nonmax_radius=15)
+    img = make_test_image(8 * 40, 256, seed=77)
+
+    ys, xs, resp, valid = SH.detect_rows_sharded(
+        jnp.asarray(img), cfg, mesh, quota=128)
+    ys, xs, resp, valid = map(np.asarray, (ys, xs, resp, valid))
+
+    # dense single-device reference: same single-level pipeline
+    corner = R.fast_corner_mask(img, 20)
+    border = np.zeros_like(corner)
+    border[15:-15, 15:-15] = True
+    corner &= border
+    rmap = R.harris_response(img)
+    surv = R.radius_nms(rmap, corner, 15)
+    eys, exs, er = R.select_topk(rmap, surv, 128)
+
+    n = valid.sum()
+    assert n == len(eys)
+    np.testing.assert_array_equal(ys[:n], eys)
+    np.testing.assert_array_equal(xs[:n], exs)
+    np.testing.assert_array_equal(resp[:n], er.astype(np.float32))
