@@ -102,7 +102,8 @@ def bad_descriptors(image: np.ndarray, x, y, size, angle, *,
     ii = integral.astype(np.int32)
 
     def box_sum_clamped(cx, cy, r):
-        """Border-safe path (computeBadResponse, cuda_bad.cu:166-243)."""
+        """Border-safe path sums (computeBadResponse, cuda_bad.cu:166-243).
+        Returns (sum, area) as exact int32/int64 — box sums < 2^31."""
         x1 = np.clip(cx - r, 0, fw - 2)
         y1 = np.clip(cy - r, 0, fh - 2)
         x2 = np.clip(cx + r + 1, 1, fw - 1)
@@ -111,9 +112,9 @@ def bad_descriptors(image: np.ndarray, x, y, size, angle, *,
         b = ii[y1, x2]
         c = ii[y2, x1]
         d = ii[y2, x2]
-        ssum = (a + d - b - c).astype(np.float32)
-        area = ((y2 - y1) * (x2 - x1)).astype(np.float32)
-        return ssum / area
+        ssum = (a + d - b - c).astype(np.int64)
+        area = ((y2 - y1) * (x2 - x1)).astype(np.int64)
+        return ssum, area
 
     def box_sum_fast(cx, cy, r):
         """Interior path: un-normalized int sum; indices clipped for memory
@@ -126,9 +127,15 @@ def bad_descriptors(image: np.ndarray, x, y, size, angle, *,
         return ii[y1, x1] + ii[y2, x2] - ii[y1, x2] - ii[y2, x1]
 
     th = thresholds[None, :]
-    # border-safe response
-    resp_border = box_sum_clamped(tx1, ty1, tbr) - box_sum_clamped(tx2, ty2, tbr)
-    bit_border = resp_border <= th
+    # border-safe response: the reference compares sum1/area1 - sum2/area2
+    # <= th (cuda_bad.cu:227-242); we use the equivalent division-free
+    # cross-multiplied form (areas > 0) because TPU f32 division is a
+    # reciprocal approximation, not IEEE — the int32 products are exact and
+    # the comparison is deterministic on every backend.
+    s1b, a1b = box_sum_clamped(tx1, ty1, tbr)
+    s2b, a2b = box_sum_clamped(tx2, ty2, tbr)
+    lhs = (s1b * a2b - s2b * a1b).astype(np.float32)
+    bit_border = lhs <= th * (a1b * a2b).astype(np.float32)
     # interior response (integer, threshold scaled by box area)
     side = 1 + 2 * tbr
     area_resp = (box_sum_fast(tx1, ty1, tbr) - box_sum_fast(tx2, ty2, tbr))

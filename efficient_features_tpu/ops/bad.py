@@ -81,15 +81,15 @@ def bad_descriptors(integral: jax.Array, x, y, size, angle, valid, *,
     def gather(iy, ix):
         return ii[jnp.clip(iy, 0, fh - 1), jnp.clip(ix, 0, fw - 1)]
 
-    def box_avg_clamped(cx, cy, r):
+    def box_sum_clamped(cx, cy, r):
         x1 = jnp.clip(cx - r, 0, fw - 2)
         y1 = jnp.clip(cy - r, 0, fh - 2)
         x2 = jnp.clip(cx + r + 1, 1, fw - 1)
         y2 = jnp.clip(cy + r + 1, 1, fh - 1)
         ssum = (gather(y1, x1) + gather(y2, x2)
-                - gather(y1, x2) - gather(y2, x1)).astype(jnp.float32)
-        area = ((y2 - y1) * (x2 - x1)).astype(jnp.float32)
-        return ssum / area
+                - gather(y1, x2) - gather(y2, x1))
+        area = (y2 - y1) * (x2 - x1)
+        return ssum, area
 
     def box_sum_fast(cx, cy, r):
         # interior path; clip for memory safety only (reference relies on the
@@ -97,9 +97,13 @@ def bad_descriptors(integral: jax.Array, x, y, size, angle, valid, *,
         return (gather(cy - r, cx - r) + gather(cy + r + 1, cx + r + 1)
                 - gather(cy - r, cx + r + 1) - gather(cy + r + 1, cx - r))
 
-    resp_border = (box_avg_clamped(tx1, ty1, tbr)
-                   - box_avg_clamped(tx2, ty2, tbr))
-    bit_border = resp_border <= th
+    # division-free border compare (see cpu.descriptors.bad_descriptors):
+    # TPU f32 division is a reciprocal approximation, so compare
+    # s1*a2 - s2*a1 <= th * a1*a2 with exact int32 products instead
+    s1b, a1b = box_sum_clamped(tx1, ty1, tbr)
+    s2b, a2b = box_sum_clamped(tx2, ty2, tbr)
+    lhs = (s1b * a2b - s2b * a1b).astype(jnp.float32)
+    bit_border = lhs <= th * (a1b * a2b).astype(jnp.float32)
 
     side = 1 + 2 * tbr
     area_resp = box_sum_fast(tx1, ty1, tbr) - box_sum_fast(tx2, ty2, tbr)

@@ -168,7 +168,14 @@ def _bad_kernel(by_ref, bx_ref, kx_ref, ky_ref, ks_ref, ka_ref,
         s2, a2 = box_sums(ty2, tx2)
         side = (1 + 2 * tbr).astype(jnp.float32)
         bit_fast = (s1 - s2) <= thv * (side * side)
-        bit_border = (s1 / a1 - s2 / a2) <= thv
+        # division-free border compare in exact int32 (TPU f32 division is a
+        # reciprocal approximation; see cpu.descriptors.bad_descriptors)
+        s1i = s1.astype(jnp.int32)
+        s2i = s2.astype(jnp.int32)
+        a1i = a1.astype(jnp.int32)
+        a2i = a2.astype(jnp.int32)
+        lhs = (s1i * a2i - s2i * a1i).astype(jnp.float32)
+        bit_border = lhs <= thv * (a1i * a2i).astype(jnp.float32)
 
         sb = np.float32(scale_factor) * ksize / np.float32(64.0)
         bw = np.float32(32.0) * sb * MARGIN

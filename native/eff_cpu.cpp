@@ -137,18 +137,23 @@ void eff_bad(const uint8_t* img, int h, int w, const int32_t* integral,
 
       bool bit;
       if (in_border) {
-        auto box_avg = [&](int cx, int cy) {
+        // division-free cross-multiplied compare (TPU f32 division is a
+        // reciprocal approximation; all backends use this exact-int form)
+        auto box_sum_area = [&](int cx, int cy, int64_t* area) {
           const int bx1 = std::clamp(cx - tbr, 0, fw - 2);
           const int by1 = std::clamp(cy - tbr, 0, fh - 2);
           const int bx2 = std::clamp(cx + tbr + 1, 1, fw - 1);
           const int by2 = std::clamp(cy + tbr + 1, 1, fh - 1);
-          const int32_t s =
+          *area = static_cast<int64_t>(by2 - by1) * (bx2 - bx1);
+          return static_cast<int64_t>(
               integral[by1 * fw + bx1] + integral[by2 * fw + bx2] -
-              integral[by1 * fw + bx2] - integral[by2 * fw + bx1];
-          return static_cast<float>(s) /
-                 static_cast<float>((by2 - by1) * (bx2 - bx1));
+              integral[by1 * fw + bx2] - integral[by2 * fw + bx1]);
         };
-        bit = (box_avg(tx1, ty1) - box_avg(tx2, ty2)) <= thresholds[b];
+        int64_t a1, a2;
+        const int64_t s1 = box_sum_area(tx1, ty1, &a1);
+        const int64_t s2 = box_sum_area(tx2, ty2, &a2);
+        bit = static_cast<float>(s1 * a2 - s2 * a1) <=
+              thresholds[b] * static_cast<float>(a1 * a2);
       } else {
         auto box_sum = [&](int cx, int cy) {
           const int bx1 = cx - tbr, by1 = cy - tbr;

@@ -214,14 +214,19 @@ def brute_bad_bit(img, integral, kp, box, th, scale_factor=1.0):
 
     ii = integral.astype(np.int64)
     if in_border:
-        def avg(cx, cy):
+        # our documented semantics: division-free cross-multiplied compare
+        # (equivalent to the reference's avg1-avg2 <= th up to the division
+        # rounding; see cpu.descriptors.bad_descriptors)
+        def sum_area(cx, cy):
             x1 = min(max(cx - tbr, 0), fw - 2)
             y1 = min(max(cy - tbr, 0), fh - 2)
             x2 = min(max(cx + tbr + 1, 1), fw - 1)
             y2 = min(max(cy + tbr + 1, 1), fh - 1)
-            ssum = np.float32(np.int32(ii[y1, x1] + ii[y2, x2] - ii[y1, x2] - ii[y2, x1]))
-            return ssum / np.float32((y2 - y1) * (x2 - x1))
-        return float(avg(tx1, ty1) - avg(tx2, ty2)) <= th
+            ssum = int(ii[y1, x1] + ii[y2, x2] - ii[y1, x2] - ii[y2, x1])
+            return ssum, (y2 - y1) * (x2 - x1)
+        s1, a1 = sum_area(tx1, ty1)
+        s2, a2 = sum_area(tx2, ty2)
+        return np.float32(s1 * a2 - s2 * a1) <= np.float32(th) * np.float32(a1 * a2)
     side = 1 + 2 * tbr
     resp = np.int32(ii[ty1 - tbr, tx1 - tbr] + ii[ty1 + tbr + 1, tx1 + tbr + 1]
                     - ii[ty1 - tbr, tx1 + tbr + 1] - ii[ty1 + tbr + 1, tx1 - tbr]
