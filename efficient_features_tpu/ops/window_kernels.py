@@ -108,8 +108,9 @@ def _bad_kernel(by_ref, bx_ref, kx_ref, ky_ref, ks_ref, ka_ref,
     br = par[4:5, :]
     thv = par[5:6, :]
 
+    cw = 128                              # compacted column count
     rows_t = jax.lax.broadcasted_iota(jnp.int32, (WIN_H, nbits), 0)
-    cols_t = jax.lax.broadcasted_iota(jnp.int32, (WIN_W, nbits), 0)
+    cols_t = jax.lax.broadcasted_iota(jnp.int32, (cw, nbits), 0)
     pr = jax.lax.broadcasted_iota(jnp.int32, (nbits, nbits // 8), 0)
     pc = jax.lax.broadcasted_iota(jnp.int32, (nbits, nbits // 8), 1)
     pack = jnp.where(pr // 8 == pc,
@@ -135,10 +136,15 @@ def _bad_kernel(by_ref, bx_ref, kx_ref, ky_ref, ks_ref, ka_ref,
 
         oy = by_ref[idx]
         ox = bx_ref[idx]
-        # transformBoxPairParams (cuda_bad.cu:149-157), local window coords
-        tx1 = rnd(cost * bx1 - sint * by1 + m02) - ox
+        # column compaction (see _warp_kernel): rotate the keypoint column to
+        # 64, keep 128 lanes — all box ranges and image-bound clamps of valid
+        # keypoints stay inside [0, 128)
+        shift = jnp.floor(kx).astype(jnp.int32) - ox - 64
+        oxc = ox + shift
+        # transformBoxPairParams (cuda_bad.cu:149-157), compacted local coords
+        tx1 = rnd(cost * bx1 - sint * by1 + m02) - oxc
         ty1 = rnd(sint * bx1 + cost * by1 + m12) - oy
-        tx2 = rnd(cost * bx2 - sint * by2 + m02) - ox
+        tx2 = rnd(cost * bx2 - sint * by2 + m02) - oxc
         ty2 = rnd(sint * bx2 + cost * by2 + m12) - oy
         tbr = rnd(s * br)
 
@@ -146,11 +152,14 @@ def _bad_kernel(by_ref, bx_ref, kx_ref, ky_ref, ks_ref, ka_ref,
         # bind (1.75 margin), so these sums serve both paths exactly
         lo_y = -oy
         hi_y = jnp.int32(img_h) - oy
-        lo_x = -ox
-        hi_x = jnp.int32(img_w) - ox
+        lo_x = -oxc
+        hi_x = jnp.int32(img_w) - oxc
 
         copy.wait()
-        win = win_ref[...].astype(jnp.int32).astype(jnp.bfloat16)  # u8 exact in bf16
+        win_rot = pltpu.roll(win_ref[...].astype(jnp.int32),
+                             (WIN_W - shift) % WIN_W, 1)
+        win = jax.lax.slice(win_rot, (0, 0),
+                            (WIN_H, cw)).astype(jnp.bfloat16)
 
         def box_sums(cy, cx):
             iy1 = jnp.clip(cy - tbr, lo_y, hi_y - 1)
@@ -263,17 +272,24 @@ def _ic_kernel(by_ref, bx_ref, kyi_ref, kxi_ref, umax_ref, img_hbm, out_ref,
 
         yloc = kyi_ref[idx] - by_ref[idx]
         xloc = kxi_ref[idx] - bx_ref[idx]
+        # column compaction: keypoint column rotated to 64, keep 128 lanes
+        # (the 15px disc fits easily); dxv becomes a constant grid
+        cw = 128
+        shift = xloc - 64
 
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (npr, WIN_H), 1)
         p_i = jax.lax.broadcasted_iota(jnp.int32, (npr, WIN_H), 0)
         onerow = (rows_i == p_i + (yloc - r)).astype(jnp.bfloat16)
 
         copy.wait()
-        win = win_ref[...].astype(jnp.int32).astype(jnp.bfloat16)
+        win_rot = pltpu.roll(win_ref[...].astype(jnp.int32),
+                             (WIN_W - shift) % WIN_W, 1)
+        win = jax.lax.slice(win_rot, (0, 0),
+                            (WIN_H, cw)).astype(jnp.bfloat16)
         t = jnp.dot(onerow, win, preferred_element_type=jnp.float32)
 
-        dyv = jax.lax.broadcasted_iota(jnp.int32, (npr, WIN_W), 0) - r
-        dxv = jax.lax.broadcasted_iota(jnp.int32, (npr, WIN_W), 1) - xloc
+        dyv = jax.lax.broadcasted_iota(jnp.int32, (npr, cw), 0) - r
+        dxv = jax.lax.broadcasted_iota(jnp.int32, (npr, cw), 1) - 64
         umax = umax_ref[...][0:npr, 0:1]
         mask = (jnp.abs(dxv) <= umax).astype(jnp.float32)
         m10 = (t * (dxv.astype(jnp.float32) * mask)).sum()
@@ -365,22 +381,34 @@ def _warp_kernel(by_ref, bx_ref, kx_ref, ky_ref, ks_ref, ka_ref,
         valid_px = ((ui >= 0) & (ui + 1 < img_w) &
                     (vi >= 0) & (vi + 1 < img_h))
 
+        # column compaction: all patch samples lie within +-29 of the keypoint
+        # column, so rotate the window to center the keypoint at column 64 and
+        # keep 128 lanes — halves the factor matrices and the MXU work.
+        # Wrapped columns are only ever addressed by out-of-image samples,
+        # which valid_px masks.
+        xi_loc = jnp.floor(kx_ref[idx]).astype(jnp.int32) - bx_ref[idx]
+        shift = xi_loc - 64
+        cw = 128
+
         # bilinear one-hot pairs as hat functions: relu(1 - |c - u|) equals
         # (1-du) at floor(u) and du at floor(u)+1 EXACTLY (local-scale f32
         # fractions are representable), replacing compare+select chains with
         # two arithmetic ops per factor matrix
-        u_loc = u - bx_ref[idx].astype(jnp.float32)       # (1, npx)
+        u_loc = (u - bx_ref[idx].astype(jnp.float32)
+                 - shift.astype(jnp.float32))             # (1, npx), compacted
         v_loc = v - by_ref[idx].astype(jnp.float32)
 
         cols_f = jax.lax.broadcasted_iota(
-            jnp.int32, (WIN_W, npx), 0).astype(jnp.float32)
+            jnp.int32, (cw, npx), 0).astype(jnp.float32)
         X = jnp.maximum(np.float32(1.0) - jnp.abs(cols_f - u_loc),
                         np.float32(0.0))
         Xhi = X.astype(jnp.bfloat16)
         Xlo = (X - Xhi.astype(jnp.float32)).astype(jnp.bfloat16)
 
         copy.wait()
-        win = win_ref[...].astype(jnp.int32).astype(jnp.bfloat16)
+        win_full = win_ref[...].astype(jnp.int32)
+        win_rot = pltpu.roll(win_full, (WIN_W - shift) % WIN_W, 1)
+        win = jax.lax.slice(win_rot, (0, 0), (WIN_H, cw)).astype(jnp.bfloat16)
         z = (jnp.dot(win, Xhi, preferred_element_type=jnp.float32)
              + jnp.dot(win, Xlo, preferred_element_type=jnp.float32))
 
