@@ -52,19 +52,18 @@ def build_pyramid(image: jax.Array, scale_factor: float, nlevels: int) -> list[j
 def gaussian_blur7_u8(img: jax.Array) -> jax.Array:
     """7x7 sigma=2 separable Gaussian, REFLECT_101, 16-bit fixed point.
 
-    Bit-identical to cpu.reference.gaussian_blur7_u8.
+    Bit-identical to cpu.reference.gaussian_blur7_u8.  jnp.pad(mode='reflect')
+    IS BORDER_REFLECT_101 (no edge duplication) and avoids gather ops.
     """
     k = S.gaussian_kernel7_fixed()
     h, w = img.shape
     half = np.int32(1 << (S.BLUR_BITS - 1))
 
-    xx = jnp.asarray(S.reflect101_index(np.arange(-3, w + 3), w))
-    yy = jnp.asarray(S.reflect101_index(np.arange(-3, h + 3), h))
-    a = jnp.take(img.astype(jnp.int32), xx, axis=1)
+    a = jnp.pad(img.astype(jnp.int32), ((0, 0), (3, 3)), mode="reflect")
     hp = sum(np.int32(k[i]) * jax.lax.slice_in_dim(a, i, i + w, axis=1)
              for i in range(7))
     hp = (hp + half) >> S.BLUR_BITS
-    vp = jnp.take(hp, yy, axis=0)
+    vp = jnp.pad(hp, ((3, 3), (0, 0)), mode="reflect")
     out = sum(np.int32(k[i]) * jax.lax.slice_in_dim(vp, i, i + h, axis=0)
               for i in range(7))
     out = (out + half) >> S.BLUR_BITS

@@ -1,0 +1,113 @@
+"""API-surface tests (EfficientFeatures / BAD / HashSIFT / KeyPoints)."""
+import numpy as np
+import pytest
+
+from efficient_features_tpu import EfficientFeatures, BAD, HashSIFT, KeyPoints
+from efficient_features_tpu.cpu import reference as R
+from efficient_features_tpu.cpu import descriptors as DC
+
+from util import make_test_image, make_keypoints
+
+
+@pytest.fixture(scope="module")
+def img():
+    return make_test_image(240, 320, seed=50)
+
+
+def test_detect_matches_oracle(img):
+    feat = EfficientFeatures(nfeatures=800)
+    kps = feat.detect(img)
+    oracle = R.detect(img, nfeatures=800)
+    assert len(kps) == oracle.count
+    h = kps.as_arrays()
+    np.testing.assert_array_equal(h["x"], oracle.x)
+    np.testing.assert_array_equal(h["y"], oracle.y)
+
+
+def test_detect_and_compute_all_descriptor_types(img):
+    for dt, nbytes in [("bad_256", 32), ("bad_512", 64),
+                       ("hash_sift_256", 32), ("hash_sift_512", 64)]:
+        feat = EfficientFeatures(nfeatures=300, descriptor_type=dt)
+        kps, desc = feat.detect_and_compute(img)
+        assert desc.shape == (len(kps), nbytes)
+        assert desc.dtype == np.uint8
+        assert feat.descriptor_size() == nbytes
+
+
+def test_compute_matches_oracle(img):
+    x, y, size, angle = make_keypoints(*img.shape, 40, seed=9)
+    kp = np.stack([x, y, size, angle], 1)
+    for cls, fn in [(BAD, DC.bad_descriptors),
+                    (HashSIFT, DC.hash_sift_descriptors)]:
+        d = cls(1.0, 256).compute(img, kp)
+        e = fn(img, x, y, size, angle, nbits=256)
+        budget = int(1e-4 * e.size) + 1
+        assert (d != e).sum() <= budget, cls.__name__
+
+
+def test_empty_keypoints(img):
+    d = BAD(1.0, 256).compute(img, np.zeros((0, 4), np.float32))
+    assert d.shape == (0, 32)
+
+
+def test_param_setters():
+    feat = EfficientFeatures()
+    assert feat.get_max_features() == 5000
+    feat.set_max_features(123)
+    assert feat.get_max_features() == 123
+    feat.set_scale_factor(1.5)
+    assert feat.get_scale_factor() == 1.5
+    feat.set_n_levels(4)
+    assert feat.get_n_levels() == 4
+    feat.set_first_level(1)
+    assert feat.get_first_level() == 1
+    feat.set_fast_threshold(30)
+    assert feat.get_fast_threshold() == 30
+    feat.set_nonmax_radius(7)
+    assert feat.get_nonmax_radius() == 7
+    feat.set_descriptor_type("bad_512")
+    assert feat.get_descriptor_type() == "bad_512"
+    assert feat.descriptor_size() == 64
+    with pytest.raises(ValueError):
+        feat.set_descriptor_type("orb")
+
+
+def test_first_level_skips_level0(img):
+    f0 = EfficientFeatures(nfeatures=400, first_level=1)
+    kps = f0.detect(img)
+    assert len(kps) > 0
+    assert (kps.as_arrays()["octave"] >= 1).all()
+
+
+def test_nonstandard_params_pipeline(img):
+    feat = EfficientFeatures(nfeatures=200, scale_factor=1.5, nlevels=4,
+                             fast_threshold=35, nonmax_radius=7)
+    kps = feat.detect(img)
+    oracle = R.detect(img, nfeatures=200, scale_factor=1.5, nlevels=4,
+                      fast_threshold=35, nonmax_radius=7)
+    assert len(kps) == oracle.count
+    np.testing.assert_array_equal(kps.as_arrays()["x"], oracle.x)
+
+
+def test_invalid_inputs(img):
+    feat = EfficientFeatures()
+    with pytest.raises(ValueError):
+        feat.detect(img.astype(np.float32))
+    with pytest.raises(ValueError):
+        BAD(1.0, 256).compute(img, np.zeros((3, 3), np.float32))
+    with pytest.raises(ValueError):
+        BAD(1.0, 128)
+
+
+def test_mask_warns(img):
+    feat = EfficientFeatures(nfeatures=100)
+    with pytest.warns(UserWarning):
+        feat.detect(img, mask=np.ones_like(img))
+
+
+def test_tiny_image():
+    tiny = make_test_image(40, 50, seed=3)
+    feat = EfficientFeatures(nfeatures=100)
+    kps, desc = feat.detect_and_compute(tiny)
+    oracle = R.detect(tiny, nfeatures=100)
+    assert len(kps) == oracle.count
