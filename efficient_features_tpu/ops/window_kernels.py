@@ -381,22 +381,26 @@ def _warp_kernel(by_ref, bx_ref, kx_ref, ky_ref, ks_ref, ka_ref,
         valid_px = ((ui >= 0) & (ui + 1 < img_w) &
                     (vi >= 0) & (vi + 1 < img_h))
 
-        # column compaction: all patch samples lie within +-29 of the keypoint
-        # column, so rotate the window to center the keypoint at column 64 and
-        # keep 128 lanes — halves the factor matrices and the MXU work.
-        # Wrapped columns are only ever addressed by out-of-image samples,
-        # which valid_px masks.
+        # window compaction: all patch samples lie within +-29 of the keypoint
+        # pixel, so rotate the keypoint to (row 32, col 64) and keep a 64x128
+        # sub-window — quarters the factor matrices and the MXU work.  Wrapped
+        # rows/columns are only ever addressed by out-of-image samples, which
+        # valid_px masks.
         xi_loc = jnp.floor(kx_ref[idx]).astype(jnp.int32) - bx_ref[idx]
-        shift = xi_loc - 64
+        yi_loc = jnp.floor(ky_ref[idx]).astype(jnp.int32) - by_ref[idx]
+        shift_x = xi_loc - 64
+        shift_y = yi_loc - 32
         cw = 128
+        ch = 64
 
         # bilinear one-hot pairs as hat functions: relu(1 - |c - u|) equals
         # (1-du) at floor(u) and du at floor(u)+1 EXACTLY (local-scale f32
         # fractions are representable), replacing compare+select chains with
         # two arithmetic ops per factor matrix
         u_loc = (u - bx_ref[idx].astype(jnp.float32)
-                 - shift.astype(jnp.float32))             # (1, npx), compacted
-        v_loc = v - by_ref[idx].astype(jnp.float32)
+                 - shift_x.astype(jnp.float32))           # (1, npx), compacted
+        v_loc = (v - by_ref[idx].astype(jnp.float32)
+                 - shift_y.astype(jnp.float32))
 
         cols_f = jax.lax.broadcasted_iota(
             jnp.int32, (cw, npx), 0).astype(jnp.float32)
@@ -407,14 +411,15 @@ def _warp_kernel(by_ref, bx_ref, kx_ref, ky_ref, ks_ref, ka_ref,
 
         copy.wait()
         win_full = win_ref[...].astype(jnp.int32)
-        win_rot = pltpu.roll(win_full, (WIN_W - shift) % WIN_W, 1)
-        win = jax.lax.slice(win_rot, (0, 0), (WIN_H, cw)).astype(jnp.bfloat16)
+        win_rot = pltpu.roll(win_full, (WIN_W - shift_x) % WIN_W, 1)
+        win_rot = pltpu.roll(win_rot, (WIN_H - shift_y) % WIN_H, 0)
+        win = jax.lax.slice(win_rot, (0, 0), (ch, cw)).astype(jnp.bfloat16)
         z = (jnp.dot(win, Xhi, preferred_element_type=jnp.float32)
              + jnp.dot(win, Xlo, preferred_element_type=jnp.float32))
 
         # vertical factor on the VPU at full f32 precision
         rows_f = jax.lax.broadcasted_iota(
-            jnp.int32, (WIN_H, npx), 0).astype(jnp.float32)
+            jnp.int32, (ch, npx), 0).astype(jnp.float32)
         Y = jnp.maximum(np.float32(1.0) - jnp.abs(rows_f - v_loc),
                         np.float32(0.0))
         t2 = (Y * z).sum(axis=0, keepdims=True)           # (1, npx)
