@@ -108,8 +108,9 @@ def _bad_kernel(by_ref, bx_ref, kx_ref, ky_ref, ks_ref, ka_ref,
     br = par[4:5, :]
     thv = par[5:6, :]
 
-    cw = 128                              # compacted column count
-    rows_t = jax.lax.broadcasted_iota(jnp.int32, (WIN_H, nbits), 0)
+    cw = 128                              # compacted window: 64 rows x 128
+    ch = 64                               # cols (boxes reach <= +-31 of kp)
+    rows_t = jax.lax.broadcasted_iota(jnp.int32, (ch, nbits), 0)
     cols_t = jax.lax.broadcasted_iota(jnp.int32, (cw, nbits), 0)
     pr = jax.lax.broadcasted_iota(jnp.int32, (nbits, nbits // 8), 0)
     pc = jax.lax.broadcasted_iota(jnp.int32, (nbits, nbits // 8), 1)
@@ -136,30 +137,33 @@ def _bad_kernel(by_ref, bx_ref, kx_ref, ky_ref, ks_ref, ka_ref,
 
         oy = by_ref[idx]
         ox = bx_ref[idx]
-        # column compaction (see _warp_kernel): rotate the keypoint column to
-        # 64, keep 128 lanes — all box ranges and image-bound clamps of valid
-        # keypoints stay inside [0, 128)
-        shift = jnp.floor(kx).astype(jnp.int32) - ox - 64
-        oxc = ox + shift
+        # window compaction (see _warp_kernel): rotate the keypoint to
+        # (row 32, col 64) and keep 64x128 — all box ranges and image-bound
+        # clamps of valid keypoints stay inside the sub-window
+        shift_x = jnp.floor(kx).astype(jnp.int32) - ox - 64
+        shift_y = jnp.floor(ky).astype(jnp.int32) - oy - 32
+        oxc = ox + shift_x
+        oyc = oy + shift_y
         # transformBoxPairParams (cuda_bad.cu:149-157), compacted local coords
         tx1 = rnd(cost * bx1 - sint * by1 + m02) - oxc
-        ty1 = rnd(sint * bx1 + cost * by1 + m12) - oy
+        ty1 = rnd(sint * bx1 + cost * by1 + m12) - oyc
         tx2 = rnd(cost * bx2 - sint * by2 + m02) - oxc
-        ty2 = rnd(sint * bx2 + cost * by2 + m12) - oy
+        ty2 = rnd(sint * bx2 + cost * by2 + m12) - oyc
         tbr = rnd(s * br)
 
         # clamped integral corners; for interior keypoints the clamps never
         # bind (1.75 margin), so these sums serve both paths exactly
-        lo_y = -oy
-        hi_y = jnp.int32(img_h) - oy
+        lo_y = -oyc
+        hi_y = jnp.int32(img_h) - oyc
         lo_x = -oxc
         hi_x = jnp.int32(img_w) - oxc
 
         copy.wait()
         win_rot = pltpu.roll(win_ref[...].astype(jnp.int32),
-                             (WIN_W - shift) % WIN_W, 1)
+                             (WIN_W - shift_x) % WIN_W, 1)
+        win_rot = pltpu.roll(win_rot, (WIN_H - shift_y) % WIN_H, 0)
         win = jax.lax.slice(win_rot, (0, 0),
-                            (WIN_H, cw)).astype(jnp.bfloat16)
+                            (ch, cw)).astype(jnp.bfloat16)
 
         def box_sums(cy, cx):
             iy1 = jnp.clip(cy - tbr, lo_y, hi_y - 1)
