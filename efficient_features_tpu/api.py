@@ -17,7 +17,7 @@ wraps them and compacts lazily on host access.
 """
 from __future__ import annotations
 
-import warnings
+
 from dataclasses import replace
 
 import numpy as np
@@ -205,8 +205,11 @@ class EfficientFeatures:
         return self.detect_async(image, mask).block()
 
     def detect_async(self, image, mask=None) -> KeyPoints:
-        self._check_mask(mask)
-        return KeyPoints(P.detect_jit(_as_u8_image(image), self._cfg))
+        img = _as_u8_image(image)
+        if mask is not None:
+            mask = self._as_mask(mask, img.shape)
+            return KeyPoints(P.detect_masked_jit(img, mask, self._cfg))
+        return KeyPoints(P.detect_jit(img, self._cfg))
 
     def compute(self, image, keypoints) -> np.ndarray:
         return self._describer().compute(image, keypoints)
@@ -221,8 +224,12 @@ class EfficientFeatures:
         return kps, np.asarray(desc)[np.asarray(kps._slots["valid"])]
 
     def detect_and_compute_async(self, image, mask=None):
-        self._check_mask(mask)
-        slots, descs = P.detect_and_compute_jit(_as_u8_image(image), self._cfg)
+        img = _as_u8_image(image)
+        if mask is not None:
+            mask = self._as_mask(mask, img.shape)
+            slots, descs = P.detect_and_compute_masked_jit(img, mask, self._cfg)
+        else:
+            slots, descs = P.detect_and_compute_jit(img, self._cfg)
         return KeyPoints(slots), descs
 
     def convert(self, keypoints: KeyPoints):
@@ -246,12 +253,18 @@ class EfficientFeatures:
             SH.shard_batch(images, mesh), self._cfg, mesh)
 
     @staticmethod
-    def _check_mask(mask):
-        if mask is not None:
-            # The reference accepts a mask argument but never applies it
-            # (detectAndComputeAsync ignores _mask); we warn instead.
-            warnings.warn("mask is accepted for API parity but not applied "
-                          "(the CUDA reference ignores it too)")
+    def _as_mask(mask, shape):
+        """Validate a user ROI mask (8-bit, nonzero = search here).
+
+        NOTE: the CUDA reference accepts this argument but silently ignores it
+        (detectAndComputeAsync never reads _mask); we implement the documented
+        behavior: keypoints are only detected where the mask is nonzero, and
+        masked-out corners do not take part in non-max suppression.
+        """
+        m = jnp.asarray(mask)
+        if m.shape != shape:
+            raise ValueError(f"mask shape {m.shape} != image shape {shape}")
+        return (m != 0)
 
     def _describer(self):
         kind, bits = self._cfg.descriptor_type.rsplit("_", 1)

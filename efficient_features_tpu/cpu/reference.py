@@ -328,11 +328,28 @@ class DetectResult:
         return int(self.x.size)
 
 
+def mask_pyramid(mask: np.ndarray, shapes) -> list[np.ndarray]:
+    """Nearest-neighbour user-mask downsampling per pyramid level (mirrors
+    pipeline._mask_pyramid exactly)."""
+    levels = [mask != 0]
+    h0, w0 = shapes[0]
+    for (h, w) in shapes[1:]:
+        yy = np.clip((np.arange(h) * 2 + 1) * h0 // (2 * h), 0, h0 - 1)
+        xx = np.clip((np.arange(w) * 2 + 1) * w0 // (2 * w), 0, w0 - 1)
+        levels.append((mask != 0)[yy][:, xx])
+    return levels
+
+
 def detect(image: np.ndarray, *, nfeatures=5000, scale_factor=1.2, nlevels=8,
-           first_level=0, fast_threshold=20, nonmax_radius=15) -> DetectResult:
+           first_level=0, fast_threshold=20, nonmax_radius=15,
+           mask=None) -> DetectResult:
     levels = build_pyramid(image, scale_factor, nlevels)
     scales = S.pyramid_scales(scale_factor, nlevels)
     quotas = S.features_per_level(nfeatures, scale_factor, nlevels)
+    shapes = S.pyramid_shapes(image.shape[0], image.shape[1],
+                              scale_factor, nlevels)
+    masks = mask_pyramid(mask, shapes) if mask is not None \
+        else [None] * nlevels
 
     per_level = []
     for s in range(first_level, nlevels):
@@ -345,6 +362,8 @@ def detect(image: np.ndarray, *, nfeatures=5000, scale_factor=1.2, nlevels=8,
         if h > 2 * b and w > 2 * b:
             border[b:h - b, b:w - b] = True
         corner &= border
+        if masks[s] is not None:
+            corner &= masks[s]
         resp = harris_response(img)
         surv = radius_nms(resp, corner, nonmax_radius)
         ys, xs, r = select_topk(resp, surv, quotas[s])

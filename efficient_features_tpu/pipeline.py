@@ -63,11 +63,19 @@ class FeatureConfig:
         return S.features_per_level(self.nfeatures, self.scale_factor, self.nlevels)
 
 
-def _detect_level(img, quota, cfg: FeatureConfig):
-    """One pyramid level: FAST -> Harris -> NMS -> top-k -> angles."""
+def _detect_level(img, quota, cfg: FeatureConfig, lvl_mask=None):
+    """One pyramid level: FAST -> Harris -> NMS -> top-k -> angles.
+
+    lvl_mask (optional bool map): user ROI mask for this level — applied
+    before NMS, like the border mask, so masked-out corners never suppress.
+    (The CUDA reference accepts a mask argument but silently ignores it;
+    we implement it.)"""
     h, w = img.shape
     if _use_pallas() and min(h, w) > 2 * S.HALF_PATCH_SIZE:
         resp_masked = PK.fast_harris(img, cfg.fast_threshold)
+        if lvl_mask is not None:
+            resp_masked = jnp.where(lvl_mask, resp_masked,
+                                    jnp.float32(-jnp.inf))
         surv = PK.radius_nms(resp_masked, cfg.nonmax_radius)
         ys, xs, r, valid = ops_detect.select_topk(resp_masked, surv, quota)
         ang = WK.ic_angles_windows(img, ys, xs, valid)
@@ -79,6 +87,8 @@ def _detect_level(img, quota, cfg: FeatureConfig):
         corner = corner & border
     else:
         corner = jnp.zeros((h, w), bool)
+    if lvl_mask is not None:
+        corner = corner & lvl_mask
     resp = ops_detect.harris_response(img)
     surv = ops_detect.radius_nms(resp, corner, cfg.nonmax_radius)
     ys, xs, r, valid = ops_detect.select_topk(resp, surv, quota)
@@ -86,11 +96,27 @@ def _detect_level(img, quota, cfg: FeatureConfig):
     return ys, xs, r, ang, valid
 
 
-def detect_core(image: jax.Array, cfg: FeatureConfig):
+def _mask_pyramid(mask, shapes):
+    """Nearest-neighbour mask downsampling per pyramid level: level pixel
+    (y, x) maps to the level-0 pixel its half-pixel center falls on."""
+    levels = [mask != 0]
+    h0, w0 = shapes[0]
+    for (h, w) in shapes[1:]:
+        yy = jnp.clip(((jnp.arange(h) * 2 + 1) * h0 // (2 * h)), 0, h0 - 1)
+        xx = jnp.clip(((jnp.arange(w) * 2 + 1) * w0 // (2 * w)), 0, w0 - 1)
+        levels.append((mask != 0)[yy][:, xx])
+    return levels
+
+
+def detect_core(image: jax.Array, cfg: FeatureConfig, mask=None):
     """Returns per-slot SoA dict over sum(quotas[first_level:]) slots."""
     levels = ops_image.build_pyramid(image, cfg.scale_factor, cfg.nlevels)
     scales = S.pyramid_scales(cfg.scale_factor, cfg.nlevels)
     quotas = cfg.quotas()
+    shapes = S.pyramid_shapes(image.shape[0], image.shape[1],
+                              cfg.scale_factor, cfg.nlevels)
+    masks = _mask_pyramid(mask, shapes) if mask is not None \
+        else [None] * cfg.nlevels
 
     outs = {k: [] for k in
             ("x", "y", "response", "angle", "octave", "size", "valid",
@@ -98,7 +124,7 @@ def detect_core(image: jax.Array, cfg: FeatureConfig):
     per_level = []
     for s in range(cfg.first_level, cfg.nlevels):
         quota = min(quotas[s], int(np.prod(levels[s].shape)))
-        ys, xs, r, ang, valid = _detect_level(levels[s], quota, cfg)
+        ys, xs, r, ang, valid = _detect_level(levels[s], quota, cfg, masks[s])
         per_level.append((s, ys, xs, valid, ang))
         sc = np.float32(scales[s])
         # scalePoints (cuda_efficient_features.cu:236-248): trunc(scale*x + 0.5)
@@ -156,8 +182,8 @@ def _compute_level_descriptors(blurred, ys, xs, ang, valid, cfg: FeatureConfig):
 
 
 def detect_and_compute_core(image: jax.Array, cfg: FeatureConfig,
-                            with_descriptors: bool = True):
-    slots, levels, per_level = detect_core(image, cfg)
+                            with_descriptors: bool = True, mask=None):
+    slots, levels, per_level = detect_core(image, cfg, mask)
     if not with_descriptors:
         return slots, None
     descs = []
@@ -180,9 +206,26 @@ def detect_jit(image, cfg: FeatureConfig):
     return slots
 
 
+@partial(jax.jit, static_argnums=(2,))
+def detect_masked_jit(image, mask, cfg: FeatureConfig):
+    slots, _, _ = detect_core(image, cfg, mask)
+    slots.pop("x_level")
+    slots.pop("y_level")
+    return slots
+
+
 @partial(jax.jit, static_argnums=(1,))
 def detect_and_compute_jit(image, cfg: FeatureConfig):
     slots, descs = detect_and_compute_core(image, cfg, with_descriptors=True)
+    slots.pop("x_level")
+    slots.pop("y_level")
+    return slots, descs
+
+
+@partial(jax.jit, static_argnums=(2,))
+def detect_and_compute_masked_jit(image, mask, cfg: FeatureConfig):
+    slots, descs = detect_and_compute_core(image, cfg, with_descriptors=True,
+                                           mask=mask)
     slots.pop("x_level")
     slots.pop("y_level")
     return slots, descs

@@ -99,10 +99,30 @@ def test_invalid_inputs(img):
         BAD(1.0, 128)
 
 
-def test_mask_warns(img):
-    feat = EfficientFeatures(nfeatures=100)
-    with pytest.warns(UserWarning):
-        feat.detect(img, mask=np.ones_like(img))
+def test_mask_restricts_detection(img):
+    """User ROI masks are honored (the CUDA reference accepts but silently
+    ignores its mask argument; we implement the documented behavior) and
+    match the oracle bit-exactly."""
+    feat = EfficientFeatures(nfeatures=400)
+    mask = np.zeros_like(img)
+    mask[:, : img.shape[1] // 2] = 255          # left half only
+    kps = feat.detect(img, mask=mask)
+    h = kps.as_arrays()
+    assert len(kps) > 0
+    # all keypoints originate from masked-in level-0 area (scaled coords can
+    # drift by a pixel at higher octaves; check level-0 half-plane loosely)
+    assert (h["x"] <= img.shape[1] // 2 + 2).all()
+    oracle = R.detect(img, nfeatures=400, mask=mask)
+    assert len(kps) == oracle.count
+    np.testing.assert_array_equal(h["x"], oracle.x)
+    np.testing.assert_array_equal(h["y"], oracle.y)
+    # full mask == no mask
+    kps_full = feat.detect(img, mask=np.full_like(img, 255))
+    kps_none = feat.detect(img)
+    np.testing.assert_array_equal(kps_full.as_arrays()["x"],
+                                  kps_none.as_arrays()["x"])
+    with pytest.raises(ValueError):
+        feat.detect(img, mask=np.ones((3, 3), np.uint8))
 
 
 def test_tiny_image():
