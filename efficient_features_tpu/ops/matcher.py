@@ -69,3 +69,25 @@ def knn2_ratio_match(desc1: jax.Array, desc2: jax.Array,
     i_back = jnp.argmin(d, axis=0)
     cross_ok = i_back[j] == jnp.arange(d.shape[0])
     return j.astype(jnp.int32), best, ratio_ok & cross_ok
+
+
+@partial(jax.jit, static_argnums=(4,))
+def knn2_ratio_match_masked(desc1: jax.Array, valid1: jax.Array,
+                            desc2: jax.Array, valid2: jax.Array,
+                            max_ratio: float = 0.8):
+    """knn2_ratio_match over fixed-capacity descriptor SLOT arrays with
+    validity masks — lets streaming pipelines chain detect+describe+match
+    fully on-device with zero host synchronization (the analogue of the
+    reference's CUDA-stream loop in sample_image_sequence.cpp:96-144)."""
+    d = hamming_matrix(desc1, desc2)
+    big = jnp.int32(1 << 30)
+    d = jnp.where(valid1[:, None] & valid2[None, :], d, big)
+    neg2, idx2 = jax.lax.top_k(-d, 2)
+    best = -neg2[:, 0]
+    second = -neg2[:, 1]
+    j = idx2[:, 0]
+    ratio_ok = best.astype(jnp.float32) <= max_ratio * second.astype(jnp.float32)
+    i_back = jnp.argmin(d, axis=0)
+    cross_ok = i_back[j] == jnp.arange(d.shape[0])
+    ok = ratio_ok & cross_ok & valid1 & (best < big)
+    return j.astype(jnp.int32), best, ok

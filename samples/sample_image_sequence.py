@@ -49,27 +49,27 @@ def main():
         descriptor_type=descriptor_type(args.descriptor_type,
                                         args.descriptor_bits))
 
-    prev_desc = None
+    # fully device-resident stream: detect+describe+match chain on fixed-
+    # capacity slot arrays; the only host transfer per frame is the match
+    # count (the reference's CUDA-stream loop needs keypoint downloads)
+    prev = None
     t_all = []
     for fi, frame in enumerate(frame_iter(args.source, args.frames)):
         t0 = time.perf_counter()
-        # async dispatch: detect+compute enqueues immediately; matching of the
-        # PREVIOUS frame's descriptors overlaps with this frame's pipeline
         kps, desc = feat.detect_and_compute_async(frame)
-        kps.block()
-        valid = np.asarray(kps._slots["valid"])
-        cur_desc = jnp.asarray(np.asarray(desc)[valid])
-        if prev_desc is not None and prev_desc.shape[0] and cur_desc.shape[0]:
-            j, dist, ok = matcher.knn2_ratio_match(prev_desc, cur_desc,
-                                                   args.max_ratio)
-            nmatch = int(np.asarray(ok).sum())
+        valid = kps._slots["valid"]
+        if prev is not None:
+            pd, pv = prev
+            j, dist, ok = matcher.knn2_ratio_match_masked(
+                pd, pv, desc, valid, args.max_ratio)
+            nmatch = int(np.asarray(ok.sum()))
         else:
             nmatch = 0
+        nk = int(np.asarray(kps._slots["count"]))
         dt = time.perf_counter() - t0
         t_all.append(dt)
-        print(f"frame {fi}: {len(kps)} kps, {nmatch} matches, "
-              f"{dt*1e3:.1f} ms")
-        prev_desc = cur_desc
+        print(f"frame {fi}: {nk} kps, {nmatch} matches, {dt*1e3:.1f} ms")
+        prev = (desc, valid)
 
     if len(t_all) > 2:
         steady = np.mean(t_all[2:]) * 1e3

@@ -35,6 +35,29 @@ def test_cross_check_match():
     assert valid.mean() > 0.9
 
 
+def test_knn_ratio_match_masked():
+    rng = np.random.default_rng(3)
+    d2 = rng.integers(0, 256, (64, 32), dtype=np.uint8)
+    d1 = d2.copy()
+    v1 = np.ones(64, bool)
+    v1[10:20] = False
+    v2 = np.ones(64, bool)
+    v2[30:40] = False
+    j, best, ok = matcher.knn2_ratio_match_masked(
+        jnp.asarray(d1), jnp.asarray(v1), jnp.asarray(d2), jnp.asarray(v2),
+        0.8)
+    j, best, ok = map(np.asarray, (j, best, ok))
+    # invalid queries never match; invalid train rows never matched
+    assert not ok[10:20].any()
+    assert not np.isin(j[ok], np.arange(30, 40)).any()
+    # valid identical pairs outside the masked train range match themselves
+    good = np.ones(64, bool)
+    good[10:20] = False
+    good[30:40] = False
+    assert (j[good & ok] == np.arange(64)[good & ok]).all()
+    assert (best[good & ok] == 0).all()
+
+
 def test_knn_ratio_match():
     rng = np.random.default_rng(2)
     d2 = rng.integers(0, 256, (64, 64), dtype=np.uint8)
