@@ -270,3 +270,169 @@ def radius_nms(resp: jax.Array, radius: int) -> jax.Array:
         interpret=_interpret(),
     )(padded)
     return out[:h, :w]
+
+
+# ---------------------------------------------------------------------------
+# Fused kernel: FAST + Harris + radius NMS in one pass
+# ---------------------------------------------------------------------------
+# Computes the masked response on an extended region (tile + NMS disc reach)
+# and suppresses in-VMEM, so the dense detect path writes only the final
+# suppressed response map to HBM — the unfused pair round-trips the full
+# response map once more.
+
+
+def _fast_harris_nms_kernel(dims_ref, img_hbm, out_ref, win_ref, sem, *,
+                            threshold, radius, tile_h, tile_w,
+                            halo_y, halo_x):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    ph = tile_h + 2 * halo_y
+    pw = tile_w + 2 * halo_x
+    R = radius - 1                      # disc reach: dy*dy+dx*dx < ceil(r^2)
+    eh = tile_h + 2 * R                 # extended (suppressor) region
+    ew = tile_w + 2 * R
+
+    copy = pltpu.make_async_copy(
+        img_hbm.at[pl.ds(ti * tile_h, ph), pl.ds(tj * tile_w, pw)],
+        win_ref, sem)
+    copy.start()
+    copy.wait()
+
+    win = win_ref[...].astype(jnp.int32)
+    oy = halo_y - R                     # ext origin inside the window
+    ox = halo_x - R
+
+    def sh(dy, dx, hh, ww, o_y, o_x):
+        return jax.lax.slice(win, (o_y + dy, o_x + dx),
+                             (o_y + dy + hh, o_x + dx + ww))
+
+    # ---- FAST-9 on the extended region ----
+    center = sh(0, 0, eh, ew, oy, ox)
+    hi = center + threshold
+    lo = center - threshold
+    brighter = jnp.zeros((eh, ew), jnp.int32)
+    darker = jnp.zeros((eh, ew), jnp.int32)
+    for bit, (dy, dx) in enumerate(S.FAST_CIRCLE):
+        v = sh(int(dy), int(dx), eh, ew, oy, ox)
+        brighter = brighter | ((v > hi).astype(jnp.int32) << bit)
+        darker = darker | ((v < lo).astype(jnp.int32) << bit)
+
+    def any_run9(m):
+        acc = m
+        for s in range(1, S.FAST_ARC_LEN):
+            acc = acc & (((m >> s) | (m << (16 - s))) & 0xFFFF)
+        return acc != 0
+
+    corner = any_run9(brighter) | any_run9(darker)
+
+    # ---- Harris on the extended region ----
+    gh2 = eh + 6
+    gw2 = ew + 6
+
+    def shd(dy, dx):
+        return sh(dy, dx, gh2, gw2, oy - 3, ox - 3)
+
+    gx = ((shd(1, 1) + 2 * shd(0, 1) + shd(-1, 1))
+          - (shd(1, -1) + 2 * shd(0, -1) + shd(-1, -1)))
+    gy = ((shd(1, -1) + 2 * shd(1, 0) + shd(1, 1))
+          - (shd(-1, -1) + 2 * shd(-1, 0) + shd(-1, 1)))
+
+    def box7(m):
+        rows = sum(jax.lax.slice(m, (0, 3 + d), (gh2, 3 + d + ew))
+                   for d in range(-3, 4))
+        return sum(jax.lax.slice(rows, (3 + d, 0), (3 + d + eh, ew))
+                   for d in range(-3, 4))
+
+    s2 = np.float32(S.HARRIS_SCALE) * np.float32(S.HARRIS_SCALE)
+    sxx = _trunc_mantissa(s2 * box7(gx * gx).astype(jnp.float32), 12)
+    sxy = _trunc_mantissa(s2 * box7(gx * gy).astype(jnp.float32), 12)
+    syy = _trunc_mantissa(s2 * box7(gy * gy).astype(jnp.float32), 12)
+    tr = _trunc_mantissa(sxx + syy, 13)
+    resp = (sxx * syy - sxy * sxy) - np.float32(S.HARRIS_K) * (tr * tr)
+
+    # ---- border mask on the extended region (suppressors outside the image
+    # border never participate, matching createMask -> FAST order) ----
+    true_h = dims_ref[0]
+    true_w = dims_ref[1]
+    gy_ids = jax.lax.broadcasted_iota(jnp.int32, (eh, ew), 0) \
+        + ti * tile_h - R
+    gx_ids = jax.lax.broadcasted_iota(jnp.int32, (eh, ew), 1) \
+        + tj * tile_w - R
+    b = S.HALF_PATCH_SIZE
+    inb = ((gy_ids >= b) & (gy_ids < true_h - b)
+           & (gx_ids >= b) & (gx_ids < true_w - b))
+    masked = jnp.where(corner & inb, resp, NEG_INF)
+
+    # ---- disc max-filter over the extended map, evaluated on the tile ----
+    pows = {1: masked}
+    p = 1
+    while 2 * p <= 2 * radius + 1:
+        prev = pows[p]
+        wprev = prev.shape[1]
+        pows[2 * p] = jnp.maximum(
+            jax.lax.slice(prev, (0, 0), (eh, wprev - p)),
+            jax.lax.slice(prev, (0, p), (eh, wprev)))
+        p *= 2
+
+    center_resp = jax.lax.slice(masked, (R, R), (R + tile_h, R + tile_w))
+    disc_max = jnp.full((tile_h, tile_w), NEG_INF)
+    for dy, wdx in S.disc_row_extents(radius):
+        width = 2 * wdx + 1
+        k = 1
+        while k * 2 <= width:
+            k *= 2
+        left = pows[k]
+        if k != width:
+            wk = left.shape[1]
+            left = jnp.maximum(
+                jax.lax.slice(left, (0, 0), (eh, wk - (width - k))),
+                jax.lax.slice(left, (0, width - k), (eh, wk)))
+        contrib = jax.lax.slice(left, (R + dy, R - wdx),
+                                (R + dy + tile_h, R - wdx + tile_w))
+        disc_max = jnp.maximum(disc_max, contrib)
+
+    survive = (center_resp != NEG_INF) & (center_resp >= disc_max)
+    out_ref[...] = jnp.where(survive, center_resp, NEG_INF)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def fast_harris_nms(image: jax.Array, threshold: int, radius: int) -> jax.Array:
+    """Fused dense detect: f32 response where a border-valid FAST corner
+    survives radius NMS, -inf elsewhere.  Bit-identical to
+    radius_nms(fast_harris(...)) composed with the oracle."""
+    h, w = image.shape
+    tile_h, tile_w = _tile_dims(h, w)
+    gh = -(-h // tile_h)
+    gw = -(-w // tile_w)
+    # halo: NMS reach (radius-1) + harris/FAST support (4), aligned 8 / 128
+    need = radius - 1 + _FH_HALO
+    halo_y = -(-need // 8) * 8
+    halo_x = 128
+    assert halo_x >= need
+    padded = jnp.pad(image, ((halo_y, gh * tile_h - h + halo_y),
+                             (halo_x, gw * tile_w - w + halo_x)))
+    dims = jnp.array([h, w], jnp.int32)
+
+    kernel = functools.partial(_fast_harris_nms_kernel, threshold=threshold,
+                               radius=radius, tile_h=tile_h, tile_w=tile_w,
+                               halo_y=halo_y, halo_x=halo_x)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(gh, gw),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((tile_h + 2 * halo_y, tile_w + 2 * halo_x),
+                           jnp.uint8),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((gh * tile_h, gw * tile_w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(dims, padded)
+    return out[:h, :w]

@@ -72,12 +72,18 @@ def _detect_level(img, quota, cfg: FeatureConfig, lvl_mask=None):
     we implement it.)"""
     h, w = img.shape
     if _use_pallas() and min(h, w) > 2 * S.HALF_PATCH_SIZE:
-        resp_masked = PK.fast_harris(img, cfg.fast_threshold)
-        if lvl_mask is not None:
+        if lvl_mask is None:
+            # fused FAST+Harris+NMS: one pass, one HBM map
+            suppressed = PK.fast_harris_nms(img, cfg.fast_threshold,
+                                            cfg.nonmax_radius)
+        else:
+            resp_masked = PK.fast_harris(img, cfg.fast_threshold)
             resp_masked = jnp.where(lvl_mask, resp_masked,
                                     jnp.float32(-jnp.inf))
-        surv = PK.radius_nms(resp_masked, cfg.nonmax_radius)
-        ys, xs, r, valid = ops_detect.select_topk(resp_masked, surv, quota)
+            surv = PK.radius_nms(resp_masked, cfg.nonmax_radius)
+            suppressed = jnp.where(surv, resp_masked, jnp.float32(-jnp.inf))
+        ys, xs, r, valid = ops_detect.select_topk(
+            suppressed, suppressed != jnp.float32(-jnp.inf), quota)
         ang = WK.ic_angles_windows(img, ys, xs, valid)
         return ys, xs, r, ang, valid
     corner = ops_detect.fast_corner_mask(img, cfg.fast_threshold)
