@@ -117,13 +117,21 @@ def _bad_kernel(by_ref, bx_ref, kx_ref, ky_ref, ks_ref, ka_ref,
     pack = jnp.where(pr // 8 == pc,
                      jnp.exp2((7 - pr % 8).astype(jnp.float32)), 0.0)
 
-    def body(k, carry):
-        idx = i * _BAD_KPB + k
-        copy = pltpu.make_async_copy(
+    def get_dma(slot, idx):
+        return pltpu.make_async_copy(
             img_hbm.at[pl.ds(pl.multiple_of(by_ref[idx], 8), WIN_H),
                        pl.ds(pl.multiple_of(bx_ref[idx], 128), WIN_W)],
-            win_ref, sem)
-        copy.start()
+            win_ref.at[slot], sem.at[slot])
+
+    get_dma(0, i * _BAD_KPB).start()      # double-buffered window prefetch
+
+    def body(k, carry):
+        idx = i * _BAD_KPB + k
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < _BAD_KPB)
+        def _():
+            get_dma(jax.lax.rem(k + 1, 2), idx + 1).start()
 
         kx = kx_ref[idx]
         ky = ky_ref[idx]
@@ -158,8 +166,8 @@ def _bad_kernel(by_ref, bx_ref, kx_ref, ky_ref, ks_ref, ka_ref,
         lo_x = -oxc
         hi_x = jnp.int32(img_w) - oxc
 
-        copy.wait()
-        win_rot = pltpu.roll(win_ref[...].astype(jnp.int32),
+        get_dma(slot, idx).wait()
+        win_rot = pltpu.roll(win_ref[slot].astype(jnp.int32),
                              (WIN_W - shift_x) % WIN_W, 1)
         win_rot = pltpu.roll(win_rot, (WIN_H - shift_y) % WIN_H, 0)
         win = jax.lax.slice(win_rot, (0, 0),
@@ -240,8 +248,8 @@ def bad_descriptors_windows(image, x, y, size, angle, valid,
                                    lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((WIN_H, WIN_W), jnp.uint8),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, WIN_H, WIN_W), jnp.uint8),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, nbits // 8), jnp.float32),
@@ -266,13 +274,21 @@ def _ic_kernel(by_ref, bx_ref, kyi_ref, kxi_ref, umax_ref, img_hbm, out_ref,
     r = S.HALF_PATCH_SIZE
     npr = 2 * r + 1
 
-    def body(k, carry):
-        idx = i * _IC_KPB + k
-        copy = pltpu.make_async_copy(
+    def get_dma(slot, idx):
+        return pltpu.make_async_copy(
             img_hbm.at[pl.ds(pl.multiple_of(by_ref[idx], 8), WIN_H),
                        pl.ds(pl.multiple_of(bx_ref[idx], 128), WIN_W)],
-            win_ref, sem)
-        copy.start()
+            win_ref.at[slot], sem.at[slot])
+
+    get_dma(0, i * _IC_KPB).start()       # double-buffered window prefetch
+
+    def body(k, carry):
+        idx = i * _IC_KPB + k
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < _IC_KPB)
+        def _():
+            get_dma(jax.lax.rem(k + 1, 2), idx + 1).start()
 
         yloc = kyi_ref[idx] - by_ref[idx]
         xloc = kxi_ref[idx] - bx_ref[idx]
@@ -285,8 +301,8 @@ def _ic_kernel(by_ref, bx_ref, kyi_ref, kxi_ref, umax_ref, img_hbm, out_ref,
         p_i = jax.lax.broadcasted_iota(jnp.int32, (npr, WIN_H), 0)
         onerow = (rows_i == p_i + (yloc - r)).astype(jnp.bfloat16)
 
-        copy.wait()
-        win_rot = pltpu.roll(win_ref[...].astype(jnp.int32),
+        get_dma(slot, idx).wait()
+        win_rot = pltpu.roll(win_ref[slot].astype(jnp.int32),
                              (WIN_W - shift) % WIN_W, 1)
         win = jax.lax.slice(win_rot, (0, 0),
                             (WIN_H, cw)).astype(jnp.bfloat16)
@@ -330,8 +346,8 @@ def ic_angles_windows(image, ys, xs, valid):
             out_specs=pl.BlockSpec((_IC_KPB, 2), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((WIN_H, WIN_W), jnp.uint8),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, WIN_H, WIN_W), jnp.uint8),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, 2), jnp.float32),
@@ -360,13 +376,21 @@ def _warp_kernel(by_ref, bx_ref, kx_ref, ky_ref, ks_ref, ka_ref,
     i = pl.program_id(0)
     npx = 32 * 32
 
-    def body(k, carry):
-        idx = i * _WARP_KPB + k
-        copy = pltpu.make_async_copy(
+    def get_dma(slot, idx):
+        return pltpu.make_async_copy(
             img_hbm.at[pl.ds(pl.multiple_of(by_ref[idx], 8), WIN_H),
                        pl.ds(pl.multiple_of(bx_ref[idx], 128), WIN_W)],
-            win_ref, sem)
-        copy.start()
+            win_ref.at[slot], sem.at[slot])
+
+    get_dma(0, i * _WARP_KPB).start()     # double-buffered window prefetch
+
+    def body(k, carry):
+        idx = i * _WARP_KPB + k
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < _WARP_KPB)
+        def _():
+            get_dma(jax.lax.rem(k + 1, 2), idx + 1).start()
 
         _, cost, sint, m02, m12 = _affine_scalars(
             kx_ref[idx], ky_ref[idx], ks_ref[idx], ka_ref[idx],
@@ -413,8 +437,8 @@ def _warp_kernel(by_ref, bx_ref, kx_ref, ky_ref, ks_ref, ka_ref,
         Xhi = X.astype(jnp.bfloat16)
         Xlo = (X - Xhi.astype(jnp.float32)).astype(jnp.bfloat16)
 
-        copy.wait()
-        win_full = win_ref[...].astype(jnp.int32)
+        get_dma(slot, idx).wait()
+        win_full = win_ref[slot].astype(jnp.int32)
         win_rot = pltpu.roll(win_full, (WIN_W - shift_x) % WIN_W, 1)
         win_rot = pltpu.roll(win_rot, (WIN_H - shift_y) % WIN_H, 0)
         win = jax.lax.slice(win_rot, (0, 0), (ch, cw)).astype(jnp.bfloat16)
@@ -460,8 +484,8 @@ def warp_patches_windows(image, x, y, size, angle, valid,
             out_specs=pl.BlockSpec((_WARP_KPB, 1024), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((WIN_H, WIN_W), jnp.uint8),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, WIN_H, WIN_W), jnp.uint8),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, 1024), jnp.float32),
