@@ -20,7 +20,7 @@ on real TPU slices unchanged.
 """
 from __future__ import annotations
 
-from functools import partial
+
 
 import numpy as np
 import jax
@@ -146,3 +146,143 @@ def shard_batch(images: np.ndarray, mesh: Mesh) -> jax.Array:
     """Place a host batch onto the mesh, batch-axis sharded."""
     spec = NamedSharding(mesh, P_(mesh.axis_names[0], None, None))
     return jax.device_put(images, spec)
+
+
+# ---------------------------------------------------------------------------
+# sp: full multi-level pyramid detection over a row-sharded image
+# ---------------------------------------------------------------------------
+# Each chip owns a row band of every pyramid level.  Per level: the band is
+# resized from the previous level's band plus a ppermute halo (the bilinear
+# row tables are global trace-time constants sliced per band, so pixels are
+# bit-identical to the single-device pyramid); FAST+Harris+NMS run on a
+# 24-row halo; candidates are merged to the global per-level quota with an
+# all_gather + two-key sort.  Output slots are bit-identical to detect_jit.
+
+
+def detect_pyramid_rows_sharded(image: jax.Array, cfg: P.FeatureConfig,
+                                mesh: Mesh):
+    """Full-pyramid detect over a row-sharded image (detect_jit-compatible
+    slot dict, minus descriptors).  Requires every level height >= 2x the
+    mesh size."""
+    from ..ops import image as OI
+
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    h, w = image.shape
+    shapes = S.pyramid_shapes(h, w, cfg.scale_factor, cfg.nlevels)
+    scales = S.pyramid_scales(cfg.scale_factor, cfg.nlevels)
+    quotas = S.features_per_level(cfg.nfeatures, cfg.scale_factor,
+                                  cfg.nlevels)
+    if min(hs for hs, _ in shapes) < 2 * n:
+        raise ValueError("image too small for this mesh; use detect_jit")
+
+    # per-level band geometry + global resize tables (trace-time, float64 —
+    # identical to ops.image.resize_u8 / the oracle)
+    bh = [-(-hs // n) for hs, _ in shapes]
+    halo_rs = max(16, int(np.ceil((n - 1) * cfg.scale_factor)) + 4)
+    tables = []
+    for s in range(1, cfg.nlevels):
+        hs, ws = shapes[s]
+        hp, wp = shapes[s - 1]
+        y0, y1, wy = S.resize_axis_coeffs(hs, hp)
+        x0, x1, wx = S.resize_axis_coeffs(ws, wp)
+        pad = n * bh[s] - hs
+        y0 = np.pad(y0, (0, pad), mode="edge")
+        y1 = np.pad(y1, (0, pad), mode="edge")
+        wy = np.pad(wy, (0, pad), mode="edge")
+        tables.append((jnp.asarray(y0), jnp.asarray(y1), jnp.asarray(wy),
+                       jnp.asarray(x0), jnp.asarray(x1), jnp.asarray(wx)))
+
+    one = np.int32(1 << S.RESIZE_BITS)
+    rnd = np.int32(1 << (2 * S.RESIZE_BITS - 1))
+
+    def halo_exchange(band, H, i):
+        top = jax.lax.ppermute(band[-H:], axis,
+                               [(j, (j + 1) % n) for j in range(n)])
+        bot = jax.lax.ppermute(band[:H], axis,
+                               [(j, (j - 1) % n) for j in range(n)])
+        top = jnp.where(i == 0, jnp.zeros_like(top), top)
+        bot = jnp.where(i == n - 1, jnp.zeros_like(bot), bot)
+        return jnp.concatenate([top, band, bot], axis=0)
+
+    def band_fn(band0):
+        i = jax.lax.axis_index(axis)
+        per_level = []
+        cur = band0
+        for s in range(cfg.nlevels):
+            hs, ws = shapes[s]
+            if s > 0:
+                y0t, y1t, wyt, x0t, x1t, wxt = tables[s - 1]
+                ext = halo_exchange(cur, halo_rs, i).astype(jnp.int32)
+                hp = (jnp.take(ext, x0t, axis=1) * (one - wxt)[None, :]
+                      + jnp.take(ext, x1t, axis=1) * wxt[None, :])
+                base = i * bh[s - 1] - halo_rs
+                y0b = jax.lax.dynamic_slice(y0t, (i * bh[s],), (bh[s],))
+                y1b = jax.lax.dynamic_slice(y1t, (i * bh[s],), (bh[s],))
+                wyb = jax.lax.dynamic_slice(wyt, (i * bh[s],), (bh[s],))
+                loc0 = jnp.clip(y0b - base, 0, ext.shape[0] - 1)
+                loc1 = jnp.clip(y1b - base, 0, ext.shape[0] - 1)
+                acc = (hp[loc0] * (one - wyb)[:, None]
+                       + hp[loc1] * wyb[:, None])
+                cur = ((acc + rnd) >> (2 * S.RESIZE_BITS)).astype(jnp.uint8)
+
+            # --- per-level detection on the band (cf. detect_rows_sharded) ---
+            quota = quotas[s]
+            ext = halo_exchange(cur, _HALO, i)
+            corner = OD.fast_corner_mask(ext, cfg.fast_threshold)
+            row_ids = jnp.arange(ext.shape[0]) - _HALO + i * bh[s]
+            gborder = (row_ids >= S.HALF_PATCH_SIZE) & \
+                      (row_ids < hs - S.HALF_PATCH_SIZE)
+            col_ok = jnp.zeros((ws,), bool).at[
+                S.HALF_PATCH_SIZE:ws - S.HALF_PATCH_SIZE].set(True)
+            corner = corner & gborder[:, None] & col_ok[None, :]
+            resp = OD.harris_response(ext)
+            surv = OD.radius_nms(resp, corner, cfg.nonmax_radius)
+            owned = (jnp.arange(ext.shape[0]) >= _HALO) & \
+                    (jnp.arange(ext.shape[0]) < _HALO + bh[s])
+            surv = surv & owned[:, None]
+
+            ys_l, xs_l, r_l, v_l = OD.select_topk(resp, surv, quota)
+            from ..ops import orientation as OO
+            ang_l = OO.ic_angles(ext, ys_l, xs_l, v_l)
+            ys_g = jnp.where(v_l, ys_l - _HALO + i * bh[s], 0)
+
+            ys_all = jax.lax.all_gather(ys_g, axis).reshape(-1)
+            xs_all = jax.lax.all_gather(xs_l, axis).reshape(-1)
+            an_all = jax.lax.all_gather(ang_l, axis).reshape(-1)
+            r_all = jax.lax.all_gather(
+                jnp.where(v_l, r_l, OD.RESP_SENTINEL), axis).reshape(-1)
+            flat = ys_all.astype(jnp.int32) * ws + xs_all.astype(jnp.int32)
+            neg, _, ys_s, xs_s, an_s = jax.lax.sort(
+                (-r_all, flat, ys_all, xs_all, an_all), num_keys=2)
+            r_s = -neg[:quota]
+            valid = r_s > OD.RESP_SENTINEL
+            per_level.append((s, ys_s[:quota], xs_s[:quota],
+                              jnp.where(valid, r_s, jnp.float32(0)),
+                              an_s[:quota] * valid, valid))
+
+        # --- assemble detect_jit-compatible slots ---
+        outs = {k: [] for k in ("x", "y", "response", "angle", "octave",
+                                "size", "valid")}
+        for (s, ys, xs, r, ang, valid) in per_level:
+            sc = np.float32(scales[s])
+            outs["x"].append(jnp.trunc(sc * xs.astype(jnp.float32)
+                                       + np.float32(0.5)))
+            outs["y"].append(jnp.trunc(sc * ys.astype(jnp.float32)
+                                       + np.float32(0.5)))
+            outs["response"].append(r)
+            outs["angle"].append(ang)
+            outs["octave"].append(jnp.full(ys.shape, s, jnp.int32))
+            outs["size"].append(jnp.full(ys.shape,
+                                         sc * np.float32(S.PATCH_SIZE),
+                                         jnp.float32))
+            outs["valid"].append(valid)
+        slots = {k: jnp.concatenate(v) for k, v in outs.items()}
+        slots["count"] = slots["valid"].sum(dtype=jnp.int32)
+        return slots
+
+    pad_h = n * bh[0] - h
+    padded = jnp.pad(image, ((0, pad_h), (0, 0)))
+    sharded = jax.shard_map(band_fn, mesh=mesh, in_specs=(P_(axis, None),),
+                            out_specs=P_(), check_vma=False)
+    return jax.jit(sharded)(padded)

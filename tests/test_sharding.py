@@ -33,6 +33,26 @@ def test_dp_batch_matches_single_image():
         np.testing.assert_array_equal(descs[i], np.asarray(d1))
 
 
+def test_sp_pyramid_sharded_matches_oracle():
+    """Full-pyramid row-sharded detection is bit-identical to the oracle."""
+    assert len(jax.devices()) >= 8
+    mesh = SH.make_mesh(8)
+    cfg = P.FeatureConfig(nfeatures=600, nlevels=4)
+    img = make_test_image(400, 512, seed=91)
+    slots = {k: np.asarray(v) for k, v in
+             SH.detect_pyramid_rows_sharded(jnp.asarray(img), cfg,
+                                            mesh).items()}
+    oracle = R.detect(img, nfeatures=600, nlevels=4)
+    m = slots["valid"]
+    assert int(slots["count"]) == oracle.count
+    np.testing.assert_array_equal(slots["x"][m], oracle.x)
+    np.testing.assert_array_equal(slots["y"][m], oracle.y)
+    np.testing.assert_array_equal(slots["response"][m], oracle.response)
+    np.testing.assert_array_equal(slots["octave"][m], oracle.octave)
+    d = np.abs(slots["angle"][m] - oracle.angle)
+    assert np.minimum(d, 360 - d).max() < 1e-3
+
+
 def test_sp_rows_sharded_matches_dense():
     assert len(jax.devices()) >= 8
     mesh = SH.make_mesh(8)
