@@ -10,10 +10,12 @@ scaling axes are:
       its shard; results stay sharded until fetched.
 
   sp ("rows"): one huge image (8K+) row-sharded across chips.  Dense stages
-      (FAST / Harris / NMS) need a halo of 15px; we exchange halos once with
-      jax.lax.ppermute over the ICI ring, then each chip detects in its own
-      row band.  Selection is per-band top-k followed by a cross-chip
-      all_gather + merge (quota keypoints total).
+      (FAST / Harris / NMS) need a 24px halo exchanged with jax.lax.ppermute
+      over the ICI ring; each chip detects in its own row band and candidates
+      merge to the global quota with all_gather + a two-key sort.  Two entry
+      points: detect_rows_sharded (single level, the minimal pattern) and
+      detect_pyramid_rows_sharded (the FULL pyramid pipeline, per-level
+      sharded resize included, bit-identical to detect_jit).
 
 Both compile on a virtual CPU mesh (xla_force_host_platform_device_count) and
 on real TPU slices unchanged.
