@@ -96,9 +96,12 @@ def _affine_scalars(kx, ky, ksize, kang, scale):
 _BAD_KPB = 32
 
 
-def _bad_kernel(by_ref, bx_ref, kx_ref, ky_ref, ks_ref, ka_ref,
-                par_ref, img_hbm, out_ref, win_ref, sem, *,
+def _bad_kernel(by_ref, bx_ref, meta_ref, nstart_ref,
+                kp_ref, par_ref, img_hbm, out_ref, win_ref, sem, *,
                 nbits, scale_factor, img_w, img_h):
+    # SMEM budget is 1MB: only the DMA-addressing arrays ride scalar
+    # prefetch (by, bx, meta = slot|start<<1, nstart); keypoint params come
+    # in as a per-program VMEM block.
     i = pl.program_id(0)
     par = par_ref[...]                    # (8, nbits): x1 x2 y1 y2 r th rows
     bx1 = par[0:1, :]
@@ -123,20 +126,31 @@ def _bad_kernel(by_ref, bx_ref, kx_ref, ky_ref, ks_ref, ka_ref,
                        pl.ds(pl.multiple_of(bx_ref[idx], 128), WIN_W)],
             win_ref.at[slot], sem.at[slot])
 
-    get_dma(0, i * _BAD_KPB).start()      # double-buffered window prefetch
+    # Keypoints arrive sorted by window origin: one DMA per DISTINCT window
+    # group, double-buffered across groups (prefetch the next group's window
+    # while this group's keypoints compute).
+    first = i * _BAD_KPB
+    get_dma(meta_ref[first] & 1, first).start()
 
     def body(k, carry):
         idx = i * _BAD_KPB + k
-        slot = jax.lax.rem(k, 2)
+        meta = meta_ref[idx]
+        slot = meta & 1
 
-        @pl.when(k + 1 < _BAD_KPB)
+        @pl.when((meta >> 1) == 1)
         def _():
-            get_dma(jax.lax.rem(k + 1, 2), idx + 1).start()
+            nxt = nstart_ref[idx]
 
-        kx = kx_ref[idx]
-        ky = ky_ref[idx]
-        ksize = ks_ref[idx]
-        kang = ka_ref[idx]
+            @pl.when(nxt < (i + 1) * _BAD_KPB)
+            def _():
+                get_dma(1 - slot, nxt).start()
+
+            get_dma(slot, idx).wait()
+
+        kx = kp_ref[k, 0]
+        ky = kp_ref[k, 1]
+        ksize = kp_ref[k, 2]
+        kang = kp_ref[k, 3]
         s, cost, sint, m02, m12 = _affine_scalars(kx, ky, ksize, kang,
                                                   scale_factor)
 
@@ -166,7 +180,6 @@ def _bad_kernel(by_ref, bx_ref, kx_ref, ky_ref, ks_ref, ka_ref,
         lo_x = -oxc
         hi_x = jnp.int32(img_w) - oxc
 
-        get_dma(slot, idx).wait()
         win_rot = pltpu.roll(win_ref[slot].astype(jnp.int32),
                              (WIN_W - shift_x) % WIN_W, 1)
         win_rot = pltpu.roll(win_rot, (WIN_H - shift_y) % WIN_H, 0)
@@ -213,6 +226,30 @@ def _bad_kernel(by_ref, bx_ref, kx_ref, ky_ref, ks_ref, ka_ref,
     jax.lax.fori_loop(0, _BAD_KPB, body, 0)
 
 
+def _window_groups(by, bx, kpb):
+    """Per-keypoint window-group bookkeeping for window-sorted keypoints.
+
+    Returns (grp, is_start, next_start): `grp` is the 0-based group id (its
+    parity selects the DMA buffer slot), `is_start` marks group and program
+    starts (where the kernel waits for the window DMA), `next_start` is the
+    index of the following start (prefetch target; past-the-end when none).
+    Must be called on the final padded arrays so every DMA start has a
+    matching wait."""
+    n = by.shape[0]
+    key = by.astype(jnp.int32) * jnp.int32(1 << 15) + bx.astype(jnp.int32)
+    changed = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), (key[1:] != key[:-1]).astype(jnp.int32)])
+    grp = jnp.cumsum(changed).astype(jnp.int32)
+    prog_start = (jnp.arange(n, dtype=jnp.int32) % kpb) == 0
+    is_start = (changed == 1) | prog_start
+    idxs = jnp.where(is_start, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
+    # next_start[j] = min index > j that is a start (or n, past the end)
+    suffix_min = jnp.flip(jax.lax.cummin(jnp.flip(idxs)))
+    next_start = jnp.concatenate(
+        [suffix_min[1:], jnp.full(1, n, jnp.int32)])
+    return grp, is_start.astype(jnp.int32), next_start
+
+
 @functools.partial(jax.jit, static_argnums=(6, 7))
 def bad_descriptors_windows(image, x, y, size, angle, valid,
                             nbits: int, scale_factor: float):
@@ -220,8 +257,16 @@ def bad_descriptors_windows(image, x, y, size, angle, valid,
     h, w = image.shape
     base_y, base_x, pad_h, pad_w = plan_windows(x, y, h, w)
     padded = pad_image(image, pad_h, pad_w)
-    (by, bx, kx, ky, ks, ka), n_pad, n = _pad_n(
-        [base_y, base_x, x, y, size, angle], _BAD_KPB)
+
+    order = jnp.argsort(base_y.astype(jnp.int32) * jnp.int32(1 << 15)
+                        + base_x.astype(jnp.int32))
+    srt = [jnp.take(a, order) for a in (base_y, base_x, x, y, size, angle)]
+    (by, bx, kx, ky, ks, ka), n_pad, n = _pad_n(srt, _BAD_KPB)
+    # group bookkeeping on the PADDED arrays so every started DMA is awaited
+    # (the zero-padded tail forms its own final group)
+    grp, start, nstart = _window_groups(by, bx, _BAD_KPB)
+    meta = ((grp & 1) | (start << 1)).astype(jnp.int32)
+    kp = jnp.stack([kx, ky, ks, ka], axis=1)
 
     boxes, th = load_bad_params(nbits)
     par = np.zeros((8, nbits), np.float32)
@@ -237,9 +282,11 @@ def bad_descriptors_windows(image, x, y, size, angle, valid,
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
+            num_scalar_prefetch=4,
             grid=(n_pad // _BAD_KPB,),
             in_specs=[
+                pl.BlockSpec((_BAD_KPB, 4), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, nbits), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),
@@ -256,8 +303,11 @@ def bad_descriptors_windows(image, x, y, size, angle, valid,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(by, bx, kx, ky, ks, ka, jnp.asarray(par), padded)
-    desc = out[:n].astype(jnp.uint8)
+    )(by, bx, meta, nstart, kp, jnp.asarray(par), padded)
+    # un-sort back to caller order
+    inv = jnp.zeros_like(order).at[order].set(
+        jnp.arange(order.shape[0], dtype=order.dtype))
+    desc = jnp.take(out[:n], inv, axis=0).astype(jnp.uint8)
     return jnp.where(valid[:, None], desc, 0)
 
 
