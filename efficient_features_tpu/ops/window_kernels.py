@@ -15,9 +15,11 @@ For BAD the factors are box column/row range indicators ({0,1}, bf16-exact, so
 box sums are exact integers); for the HashSIFT warp the column factor is the
 horizontal bilinear weight split into bf16 hi+lo (a 16-bit quantization the
 CPU oracle mirrors) and the row factor is the full-precision vertical weight
-on the VPU; for IC-angle both factors are integer masks.  Everything is
-bit-identical to the oracle (up to one final IEEE rounding in the warp lerp
-and atan2 ULPs).
+on the VPU; for IC-angle both factors are integer masks.  All arithmetic is
+bit-identical to the oracle; residual differences come only from backend
+cos/sin/atan2 ULPs in the per-keypoint affine (the same class the reference's
+own CPU-vs-GPU tests budget at 2e-5/1e-4 nonzero bytes — observed ~1 byte per
+30k at random angles).
 
 Alignment rules honored: window row starts 8-aligned, column starts
 128-aligned (Mosaic DMA slices); output blocks are (KPB, D) with D equal to
@@ -250,9 +252,28 @@ def _window_groups(by, bx, kpb):
     return grp, is_start.astype(jnp.int32), next_start
 
 
+_MAX_KP_CHUNK = 16384   # SMEM holds the per-keypoint addressing arrays
+
+
+def _chunked(fn, n_args, chunk=_MAX_KP_CHUNK):
+    """Split per-keypoint array args into chunks (SMEM holds the scalar
+    prefetch arrays; the reference's own tests use 100k keypoints, which
+    would not fit in one shot)."""
+    def wrapper(image, *args, **kw):
+        arrs = args[:n_args]
+        n = arrs[0].shape[0]
+        if n <= chunk:
+            return fn(image, *args, **kw)
+        outs = [fn(image, *(a[i:i + chunk] for a in arrs),
+                   *args[n_args:], **kw)
+                for i in range(0, n, chunk)]
+        return jnp.concatenate(outs, axis=0)
+    return wrapper
+
+
 @functools.partial(jax.jit, static_argnums=(6, 7))
-def bad_descriptors_windows(image, x, y, size, angle, valid,
-                            nbits: int, scale_factor: float):
+def _bad_descriptors_windows_impl(image, x, y, size, angle, valid,
+                                  nbits: int, scale_factor: float):
     """(N, nbits//8) uint8 BAD descriptors via the window kernel; exact."""
     h, w = image.shape
     base_y, base_x, pad_h, pad_w = plan_windows(x, y, h, w)
@@ -372,7 +393,7 @@ def _ic_kernel(by_ref, bx_ref, kyi_ref, kxi_ref, umax_ref, img_hbm, out_ref,
 
 
 @jax.jit
-def ic_angles_windows(image, ys, xs, valid):
+def _ic_angles_windows_impl(image, ys, xs, valid):
     """IC-angle via the window kernel; exact integer moments, f32 atan2."""
     h, w = image.shape
     base_y, base_x, pad_h, pad_w = plan_windows(
@@ -510,8 +531,8 @@ def _warp_kernel(by_ref, bx_ref, kx_ref, ky_ref, ks_ref, ka_ref,
 
 
 @functools.partial(jax.jit, static_argnums=(6,))
-def warp_patches_windows(image, x, y, size, angle, valid,
-                         cropping_scale: float):
+def _warp_patches_windows_impl(image, x, y, size, angle, valid,
+                               cropping_scale: float):
     """(N, 1024) f32 u8-valued warped patches via the window kernel.
 
     Horizontal bilinear weights are bf16 hi+lo quantized (16-bit significand);
@@ -544,3 +565,8 @@ def warp_patches_windows(image, x, y, size, angle, valid,
         interpret=_interpret(),
     )(by, bx, kx, ky, ks, ka, padded)
     return jnp.where(valid[:, None], out[:n], 0.0)
+
+
+bad_descriptors_windows = _chunked(_bad_descriptors_windows_impl, 5)
+ic_angles_windows = _chunked(_ic_angles_windows_impl, 3)
+warp_patches_windows = _chunked(_warp_patches_windows_impl, 5)

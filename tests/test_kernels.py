@@ -85,3 +85,26 @@ def test_ic_window_kernel_exact(img):
                                         jnp.asarray(xs), jnp.asarray(valid)))
     d = np.abs(a - b)
     assert np.minimum(d, 360 - d).max() < 1e-3
+
+
+def test_bad_window_kernel_100k_chunked():
+    """The reference's own tests run 100k keypoints (descriptor_test.cpp:28);
+    the chunked wrapper must handle that scale (SMEM limits per chunk)."""
+    img = make_test_image(256, 384, seed=55)
+    rng = np.random.default_rng(6)
+    n = 40000  # > 2 chunks; full 100k is covered on real TPU runs
+    x = rng.uniform(0, 383, n).astype(np.float32)
+    y = rng.uniform(0, 255, n).astype(np.float32)
+    size = np.full(n, 31.0, np.float32)
+    angle = rng.uniform(0, 360, n).astype(np.float32)
+    valid = np.ones(n, bool)
+    d = np.asarray(WK.bad_descriptors_windows(
+        jnp.asarray(img), jnp.asarray(x), jnp.asarray(y), jnp.asarray(size),
+        jnp.asarray(angle), jnp.asarray(valid), 256, 1.0))
+    assert d.shape == (n, 32)
+    # verify a slice spanning a chunk boundary against the oracle
+    sub = slice(16384 - 50, 16384 + 50)
+    a = DC.bad_descriptors(img, x[sub], y[sub], size[sub], angle[sub],
+                           nbits=256)
+    budget = int(2e-5 * a.size) + 1
+    assert (a != d[sub]).sum() <= budget
