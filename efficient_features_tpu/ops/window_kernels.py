@@ -339,8 +339,8 @@ def _bad_descriptors_windows_impl(image, x, y, size, angle, valid,
 _IC_KPB = 128
 
 
-def _ic_kernel(by_ref, bx_ref, kyi_ref, kxi_ref, umax_ref, img_hbm, out_ref,
-               win_ref, sem):
+def _ic_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref, umax_ref,
+               img_hbm, out_ref, win_ref, sem):
     i = pl.program_id(0)
     r = S.HALF_PATCH_SIZE
     npr = 2 * r + 1
@@ -351,18 +351,26 @@ def _ic_kernel(by_ref, bx_ref, kyi_ref, kxi_ref, umax_ref, img_hbm, out_ref,
                        pl.ds(pl.multiple_of(bx_ref[idx], 128), WIN_W)],
             win_ref.at[slot], sem.at[slot])
 
-    get_dma(0, i * _IC_KPB).start()       # double-buffered window prefetch
+    first = i * _IC_KPB
+    get_dma(meta_ref[first] & 1, first).start()   # grouped window prefetch
 
     def body(k, carry):
         idx = i * _IC_KPB + k
-        slot = jax.lax.rem(k, 2)
+        meta = meta_ref[idx]
+        slot = meta & 1
 
-        @pl.when(k + 1 < _IC_KPB)
+        @pl.when((meta >> 1) == 1)
         def _():
-            get_dma(jax.lax.rem(k + 1, 2), idx + 1).start()
+            nxt = nstart_ref[idx]
 
-        yloc = kyi_ref[idx] - by_ref[idx]
-        xloc = kxi_ref[idx] - bx_ref[idx]
+            @pl.when(nxt < (i + 1) * _IC_KPB)
+            def _():
+                get_dma(1 - slot, nxt).start()
+
+            get_dma(slot, idx).wait()
+
+        yloc = kp_ref[k, 0] - by_ref[idx]
+        xloc = kp_ref[k, 1] - bx_ref[idx]
         # column compaction: keypoint column rotated to 64, keep 128 lanes
         # (the 15px disc fits easily); dxv becomes a constant grid
         cw = 128
@@ -372,7 +380,6 @@ def _ic_kernel(by_ref, bx_ref, kyi_ref, kxi_ref, umax_ref, img_hbm, out_ref,
         p_i = jax.lax.broadcasted_iota(jnp.int32, (npr, WIN_H), 0)
         onerow = (rows_i == p_i + (yloc - r)).astype(jnp.bfloat16)
 
-        get_dma(slot, idx).wait()
         win_rot = pltpu.roll(win_ref[slot].astype(jnp.int32),
                              (WIN_W - shift) % WIN_W, 1)
         win = jax.lax.slice(win_rot, (0, 0),
@@ -399,8 +406,14 @@ def _ic_angles_windows_impl(image, ys, xs, valid):
     base_y, base_x, pad_h, pad_w = plan_windows(
         xs.astype(jnp.float32), ys.astype(jnp.float32), h, w)
     padded = pad_image(image, pad_h, pad_w)
-    (by, bx, kyi, kxi), n_pad, n = _pad_n(
-        [base_y, base_x, ys.astype(jnp.int32), xs.astype(jnp.int32)], _IC_KPB)
+    order = jnp.argsort(base_y.astype(jnp.int32) * jnp.int32(1 << 15)
+                        + base_x.astype(jnp.int32))
+    srt = [jnp.take(a, order) for a in
+           (base_y, base_x, ys.astype(jnp.int32), xs.astype(jnp.int32))]
+    (by, bx, kyi, kxi), n_pad, n = _pad_n(srt, _IC_KPB)
+    grp, start, nstart = _window_groups(by, bx, _IC_KPB)
+    meta = ((grp & 1) | (start << 1)).astype(jnp.int32)
+    kp = jnp.stack([kyi, kxi], axis=1)
     umax = np.zeros((32, 8), np.int32)
     umax[:31, 0] = S.U_MAX[np.abs(np.arange(-15, 16))]
 
@@ -410,6 +423,8 @@ def _ic_angles_windows_impl(image, ys, xs, valid):
             num_scalar_prefetch=4,
             grid=(n_pad // _IC_KPB,),
             in_specs=[
+                pl.BlockSpec((_IC_KPB, 2), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((32, 8), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),
@@ -425,9 +440,12 @@ def _ic_angles_windows_impl(image, ys, xs, valid):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(by, bx, kyi, kxi, jnp.asarray(umax), padded)
-    m01 = out[:n, 0]
-    m10 = out[:n, 1]
+    )(by, bx, meta, nstart, kp, jnp.asarray(umax), padded)
+    inv = jnp.zeros_like(order).at[order].set(
+        jnp.arange(order.shape[0], dtype=order.dtype))
+    out = jnp.take(out[:n], inv, axis=0)
+    m01 = out[:, 0]
+    m10 = out[:, 1]
     ang = jnp.arctan2(m01, m10)
     ang = jnp.where(ang < 0, ang + np.float32(2 * np.pi), ang)
     deg = np.float32(180.0 / np.pi) * ang
@@ -441,7 +459,7 @@ def _ic_angles_windows_impl(image, ys, xs, valid):
 _WARP_KPB = 8
 
 
-def _warp_kernel(by_ref, bx_ref, kx_ref, ky_ref, ks_ref, ka_ref,
+def _warp_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref,
                  img_hbm, out_ref, win_ref, sem, *,
                  cropping_scale, img_w, img_h):
     i = pl.program_id(0)
@@ -453,18 +471,26 @@ def _warp_kernel(by_ref, bx_ref, kx_ref, ky_ref, ks_ref, ka_ref,
                        pl.ds(pl.multiple_of(bx_ref[idx], 128), WIN_W)],
             win_ref.at[slot], sem.at[slot])
 
-    get_dma(0, i * _WARP_KPB).start()     # double-buffered window prefetch
+    first = i * _WARP_KPB
+    get_dma(meta_ref[first] & 1, first).start()   # grouped window prefetch
 
     def body(k, carry):
         idx = i * _WARP_KPB + k
-        slot = jax.lax.rem(k, 2)
+        meta = meta_ref[idx]
+        slot = meta & 1
 
-        @pl.when(k + 1 < _WARP_KPB)
+        @pl.when((meta >> 1) == 1)
         def _():
-            get_dma(jax.lax.rem(k + 1, 2), idx + 1).start()
+            nxt = nstart_ref[idx]
+
+            @pl.when(nxt < (i + 1) * _WARP_KPB)
+            def _():
+                get_dma(1 - slot, nxt).start()
+
+            get_dma(slot, idx).wait()
 
         _, cost, sint, m02, m12 = _affine_scalars(
-            kx_ref[idx], ky_ref[idx], ks_ref[idx], ka_ref[idx],
+            kp_ref[k, 0], kp_ref[k, 1], kp_ref[k, 2], kp_ref[k, 3],
             cropping_scale)
 
         pidx = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
@@ -485,8 +511,8 @@ def _warp_kernel(by_ref, bx_ref, kx_ref, ky_ref, ks_ref, ka_ref,
         # sub-window — quarters the factor matrices and the MXU work.  Wrapped
         # rows/columns are only ever addressed by out-of-image samples, which
         # valid_px masks.
-        xi_loc = jnp.floor(kx_ref[idx]).astype(jnp.int32) - bx_ref[idx]
-        yi_loc = jnp.floor(ky_ref[idx]).astype(jnp.int32) - by_ref[idx]
+        xi_loc = jnp.floor(kp_ref[k, 0]).astype(jnp.int32) - bx_ref[idx]
+        yi_loc = jnp.floor(kp_ref[k, 1]).astype(jnp.int32) - by_ref[idx]
         shift_x = xi_loc - 64
         shift_y = yi_loc - 32
         cw = 128
@@ -508,7 +534,6 @@ def _warp_kernel(by_ref, bx_ref, kx_ref, ky_ref, ks_ref, ka_ref,
         Xhi = X.astype(jnp.bfloat16)
         Xlo = (X - Xhi.astype(jnp.float32)).astype(jnp.bfloat16)
 
-        get_dma(slot, idx).wait()
         win_full = win_ref[slot].astype(jnp.int32)
         win_rot = pltpu.roll(win_full, (WIN_W - shift_x) % WIN_W, 1)
         win_rot = pltpu.roll(win_rot, (WIN_H - shift_y) % WIN_H, 0)
@@ -541,17 +566,26 @@ def _warp_patches_windows_impl(image, x, y, size, angle, valid,
     h, w = image.shape
     base_y, base_x, pad_h, pad_w = plan_windows(x, y, h, w)
     padded = pad_image(image, pad_h, pad_w)
-    (by, bx, kx, ky, ks, ka), n_pad, n = _pad_n(
-        [base_y, base_x, x, y, size, angle], _WARP_KPB)
+    order = jnp.argsort(base_y.astype(jnp.int32) * jnp.int32(1 << 15)
+                        + base_x.astype(jnp.int32))
+    srt = [jnp.take(a, order) for a in (base_y, base_x, x, y, size, angle)]
+    (by, bx, kx, ky, ks, ka), n_pad, n = _pad_n(srt, _WARP_KPB)
+    grp, start, nstart = _window_groups(by, bx, _WARP_KPB)
+    meta = ((grp & 1) | (start << 1)).astype(jnp.int32)
+    kp = jnp.stack([kx, ky, ks, ka], axis=1)
 
     kernel = functools.partial(_warp_kernel, cropping_scale=cropping_scale,
                                img_w=w, img_h=h)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
+            num_scalar_prefetch=4,
             grid=(n_pad // _WARP_KPB,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[
+                pl.BlockSpec((_WARP_KPB, 4), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
             out_specs=pl.BlockSpec((_WARP_KPB, 1024), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
@@ -563,8 +597,10 @@ def _warp_patches_windows_impl(image, x, y, size, angle, valid,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(by, bx, kx, ky, ks, ka, padded)
-    return jnp.where(valid[:, None], out[:n], 0.0)
+    )(by, bx, meta, nstart, kp, padded)
+    inv = jnp.zeros_like(order).at[order].set(
+        jnp.arange(order.shape[0], dtype=order.dtype))
+    return jnp.where(valid[:, None], jnp.take(out[:n], inv, axis=0), 0.0)
 
 
 bad_descriptors_windows = _chunked(_bad_descriptors_windows_impl, 5)
