@@ -48,14 +48,25 @@ def _round_num(v: jax.Array) -> jax.Array:
 
 
 def bad_descriptors(integral: jax.Array, x, y, size, angle, valid, *,
-                    nbits: int = 256, scale_factor: float = 1.0) -> jax.Array:
+                    nbits: int = 256, scale_factor: float = 1.0,
+                    origin=(0, 0), frame_hw=None) -> jax.Array:
     """(N, nbits//8) uint8 descriptors from a precomputed int32 integral image.
 
     Invalid slots produce zero rows.
+
+    `origin`/`frame_hw` support band-local integrals for sharded pipelines:
+    the integral may cover only the rows/cols starting at global `origin`
+    (oy, ox) of a `frame_hw`-sized image; keypoints stay in GLOBAL
+    coordinates, and border clamps/tests use the global frame.  Defaults
+    reproduce the whole-image behavior.
     """
     boxes_np, th_np = load_bad_params(nbits)
     fh, fw = integral.shape
-    img_w, img_h = fw - 1, fh - 1
+    if frame_hw is None:
+        img_h, img_w = fh - 1, fw - 1
+    else:
+        img_h, img_w = frame_hw
+    oy, ox = origin
 
     x = x[:, None]
     y = y[:, None]
@@ -70,22 +81,27 @@ def bad_descriptors(integral: jax.Array, x, y, size, angle, valid, *,
     br = jnp.asarray(boxes_np[:, 4], jnp.float32)[None, :]
     th = jnp.asarray(th_np)[None, :]
 
-    tx1 = _round_num(m00 * bx1 + m01 * by1 + m02)
-    ty1 = _round_num(m10 * bx1 + m11 * by1 + m12)
-    tx2 = _round_num(m00 * bx2 + m01 * by2 + m02)
-    ty2 = _round_num(m10 * bx2 + m11 * by2 + m12)
+    # transformed coords in integral-local space (global minus origin)
+    tx1 = _round_num(m00 * bx1 + m01 * by1 + m02) - ox
+    ty1 = _round_num(m10 * bx1 + m11 * by1 + m12) - oy
+    tx2 = _round_num(m00 * bx2 + m01 * by2 + m02) - ox
+    ty2 = _round_num(m10 * bx2 + m11 * by2 + m12) - oy
     tbr = _round_num(s * br)
 
     ii = integral
+    # global clamp bounds expressed in local coords (match the reference's
+    # [0, frame-2] / [1, frame-1] corner clamps, cuda_bad.cu:177-218)
+    lo_y, hi_y = -oy, img_h + 1 - oy
+    lo_x, hi_x = -ox, img_w + 1 - ox
 
     def gather(iy, ix):
         return ii[jnp.clip(iy, 0, fh - 1), jnp.clip(ix, 0, fw - 1)]
 
     def box_sum_clamped(cx, cy, r):
-        x1 = jnp.clip(cx - r, 0, fw - 2)
-        y1 = jnp.clip(cy - r, 0, fh - 2)
-        x2 = jnp.clip(cx + r + 1, 1, fw - 1)
-        y2 = jnp.clip(cy + r + 1, 1, fh - 1)
+        x1 = jnp.clip(cx - r, lo_x, hi_x - 2)
+        y1 = jnp.clip(cy - r, lo_y, hi_y - 2)
+        x2 = jnp.clip(cx + r + 1, lo_x + 1, hi_x - 1)
+        y2 = jnp.clip(cy + r + 1, lo_y + 1, hi_y - 1)
         ssum = (gather(y1, x1) + gather(y2, x2)
                 - gather(y1, x2) - gather(y2, x1))
         area = (y2 - y1) * (x2 - x1)

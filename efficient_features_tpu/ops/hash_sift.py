@@ -75,10 +75,19 @@ def _spatial_weight_matrix():
 
 
 def warp_patches(image: jax.Array, x, y, size, angle,
-                 cropping_scale: float) -> jax.Array:
+                 cropping_scale: float, origin=(0, 0),
+                 frame_hw=None) -> jax.Array:
     """(N, 32, 32) float32 warped patches (values already u8-quantized);
-    matches cpu.descriptors.warp_patches."""
+    matches cpu.descriptors.warp_patches.
+
+    `origin`/`frame_hw`: the image may be a band starting at global `origin`
+    of a `frame_hw` frame; keypoints stay global and the bilinear validity
+    test uses the global frame (sharded pipelines)."""
     h, w = image.shape
+    if frame_hw is None:
+        frame_hw = (h, w)
+    fh, fw = frame_hw
+    oy, ox = origin
     xf = x[:, None, None]
     yf = y[:, None, None]
     sf = size[:, None, None]
@@ -92,9 +101,9 @@ def warp_patches(image: jax.Array, x, y, size, angle,
 
     ui = jnp.floor(u).astype(jnp.int32)
     vi = jnp.floor(v).astype(jnp.int32)
-    valid = (ui >= 0) & (ui + 1 < w) & (vi >= 0) & (vi + 1 < h)
-    uic = jnp.clip(ui, 0, w - 2)
-    vic = jnp.clip(vi, 0, h - 2)
+    valid = (ui >= 0) & (ui + 1 < fw) & (vi >= 0) & (vi + 1 < fh)
+    uic = jnp.clip(ui - ox, 0, w - 2)
+    vic = jnp.clip(vi - oy, 0, h - 2)
     du = u - ui.astype(jnp.float32)
     dv = v - vi.astype(jnp.float32)
 
@@ -175,11 +184,12 @@ def patch_sift_responses(patches: jax.Array) -> jax.Array:
 
 
 def hash_sift_descriptors(image: jax.Array, x, y, size, angle, valid, *,
-                          nbits: int = 256,
-                          cropping_scale: float = 1.0) -> jax.Array:
+                          nbits: int = 256, cropping_scale: float = 1.0,
+                          origin=(0, 0), frame_hw=None) -> jax.Array:
     """(N, nbits//8) uint8 HashSIFT descriptors; invalid slots are zero."""
     B = jnp.asarray(load_hash_sift_matrix(nbits))             # (nbits, 129)
-    patches = warp_patches(image, x, y, size, angle, cropping_scale)
+    patches = warp_patches(image, x, y, size, angle, cropping_scale,
+                           origin, frame_hw)
     responses = patch_sift_responses(patches)
     proj = jnp.dot(responses, B.T, preferred_element_type=jnp.float32,
                    precision="highest")

@@ -162,11 +162,20 @@ def shard_batch(images: np.ndarray, mesh: Mesh) -> jax.Array:
 
 
 def detect_pyramid_rows_sharded(image: jax.Array, cfg: P.FeatureConfig,
-                                mesh: Mesh):
+                                mesh: Mesh, with_descriptors: bool = False):
     """Full-pyramid detect over a row-sharded image (detect_jit-compatible
-    slot dict, minus descriptors).  Requires every level height >= 2x the
-    mesh size."""
+    slot dict; descriptors optional).  Requires every level height >= 2x the
+    mesh size.
+
+    With descriptors: each band blurs its rows (with the global REFLECT_101
+    emulated at image edges via a row remap), computes descriptors for the
+    merged keypoints that fall in its band (band-local integrals/patches with
+    global border semantics via the ops' origin/frame parameters), and a psum
+    combines the disjoint rows — bit-compatible with detect_and_compute_jit.
+    """
     from ..ops import image as OI
+    from ..ops import bad as OB
+    from ..ops import hash_sift as OHS
 
     axis = mesh.axis_names[0]
     n = mesh.devices.size
@@ -175,8 +184,12 @@ def detect_pyramid_rows_sharded(image: jax.Array, cfg: P.FeatureConfig,
     scales = S.pyramid_scales(cfg.scale_factor, cfg.nlevels)
     quotas = S.features_per_level(cfg.nfeatures, cfg.scale_factor,
                                   cfg.nlevels)
-    if min(hs for hs, _ in shapes) < 2 * n:
-        raise ValueError("image too small for this mesh; use detect_jit")
+    bh_min = min(-(-hs // n) for hs, _ in shapes)
+    halo_rs_req = max(16, int(np.ceil((n - 1) * cfg.scale_factor)) + 4)
+    if bh_min < max(_HALO, halo_rs_req):
+        raise ValueError(
+            "pyramid bands shorter than the exchange halo; fewer levels, a "
+            "smaller mesh, or detect_jit are required for this image size")
 
     # per-level band geometry + global resize tables (trace-time, float64 —
     # identical to ops.image.resize_u8 / the oracle)
@@ -259,14 +272,63 @@ def detect_pyramid_rows_sharded(image: jax.Array, cfg: P.FeatureConfig,
                 (-r_all, flat, ys_all, xs_all, an_all), num_keys=2)
             r_s = -neg[:quota]
             valid = r_s > OD.RESP_SENTINEL
-            per_level.append((s, ys_s[:quota], xs_s[:quota],
+            ys_s = ys_s[:quota]
+            xs_s = xs_s[:quota]
+            an_s = an_s[:quota] * valid
+
+            desc = None
+            if with_descriptors and bh[s] >= 48:
+                # band-local blurred window with global REFLECT_101 edges
+                HB = 48
+                ext = halo_exchange(cur, HB, i)
+                g_rows = jnp.arange(ext.shape[0]) - HB + i * bh[s]
+                refl = jnp.abs(g_rows)
+                refl = jnp.where(refl >= hs, 2 * (hs - 1) - refl, refl)
+                src = jnp.clip(refl - (i * bh[s] - HB), 0, ext.shape[0] - 1)
+                blurred = OI.gaussian_blur7_u8(ext[src])
+                winr = bh[s] + 80
+                win = jax.lax.slice(blurred, (HB - 40, 0), (HB - 40 + winr, ws))
+                oy = i * bh[s] - 40
+            elif with_descriptors:
+                # short bands: rebuild the small level via all_gather (cheap)
+                full = jax.lax.all_gather(cur, axis).reshape(-1, ws)
+                win = OI.gaussian_blur7_u8(
+                    jax.lax.slice(full, (0, 0), (hs, ws)))
+                oy = 0
+
+            if with_descriptors:
+                in_band = valid & (ys_s >= i * bh[s]) & (ys_s < (i + 1) * bh[s])
+                kxf = xs_s.astype(jnp.float32)
+                kyf = ys_s.astype(jnp.float32)
+                ksz = jnp.full(kxf.shape, np.float32(S.PATCH_SIZE),
+                               jnp.float32)
+                kind, bits = cfg.descriptor_type.rsplit("_", 1)
+                if kind == "bad":
+                    from ..ops.image import integral_image_i32
+                    integ = integral_image_i32(win)
+                    d = OB.bad_descriptors(integ, kxf, kyf, ksz, an_s,
+                                           in_band, nbits=int(bits),
+                                           scale_factor=1.0,
+                                           origin=(oy, 0), frame_hw=(hs, ws))
+                else:
+                    d = OHS.hash_sift_descriptors(
+                        win, kxf, kyf, ksz, an_s, in_band, nbits=int(bits),
+                        cropping_scale=1.0, origin=(oy, 0), frame_hw=(hs, ws))
+                # rows are disjoint across bands; psum combines
+                desc = jax.lax.psum(d.astype(jnp.int32), axis
+                                    ).astype(jnp.uint8)
+
+            per_level.append((s, ys_s, xs_s,
                               jnp.where(valid, r_s, jnp.float32(0)),
-                              an_s[:quota] * valid, valid))
+                              an_s, valid, desc))
 
         # --- assemble detect_jit-compatible slots ---
         outs = {k: [] for k in ("x", "y", "response", "angle", "octave",
                                 "size", "valid")}
-        for (s, ys, xs, r, ang, valid) in per_level:
+        descs = []
+        for (s, ys, xs, r, ang, valid, desc) in per_level:
+            if desc is not None:
+                descs.append(desc)
             sc = np.float32(scales[s])
             outs["x"].append(jnp.trunc(sc * xs.astype(jnp.float32)
                                        + np.float32(0.5)))
@@ -281,6 +343,8 @@ def detect_pyramid_rows_sharded(image: jax.Array, cfg: P.FeatureConfig,
             outs["valid"].append(valid)
         slots = {k: jnp.concatenate(v) for k, v in outs.items()}
         slots["count"] = slots["valid"].sum(dtype=jnp.int32)
+        if with_descriptors:
+            return slots, jnp.concatenate(descs, axis=0)
         return slots
 
     pad_h = n * bh[0] - h

@@ -53,6 +53,23 @@ def test_sp_pyramid_sharded_matches_oracle():
     assert np.minimum(d, 360 - d).max() < 1e-3
 
 
+def test_sp_pyramid_sharded_with_descriptors():
+    """Row-sharded detectAndCompute is byte-identical to the single-device
+    pipeline for both descriptor families."""
+    assert len(jax.devices()) >= 8
+    mesh = SH.make_mesh(8)
+    img = make_test_image(400, 512, seed=92)
+    for dt in ("bad_256", "hash_sift_256"):
+        cfg = P.FeatureConfig(nfeatures=400, nlevels=3, descriptor_type=dt)
+        slots, desc = SH.detect_pyramid_rows_sharded(
+            jnp.asarray(img), cfg, mesh, with_descriptors=True)
+        s1, d1 = P.detect_and_compute_jit(jnp.asarray(img), cfg)
+        np.testing.assert_array_equal(np.asarray(slots["x"]),
+                                      np.asarray(s1["x"]))
+        assert (np.asarray(desc) != np.asarray(d1)).sum() <= \
+            int(1e-4 * np.asarray(d1).size) + 1
+
+
 def test_sp_rows_sharded_matches_dense():
     assert len(jax.devices()) >= 8
     mesh = SH.make_mesh(8)
