@@ -59,7 +59,11 @@ def detect_and_compute_batch(images: jax.Array, cfg: P.FeatureConfig,
         slots.pop("y_level")
         return slots, desc
 
-    batched = jax.vmap(single)
+    def batched(images):
+        # sequential per image on each chip (lax.map): one detect already
+        # saturates a chip, and the Pallas kernels' ANY-space inputs cannot
+        # be vmapped; cross-image parallelism comes from the mesh axis
+        return jax.lax.map(single, images)
 
     axis = mesh.axis_names[0]
     in_spec = P_(axis, None, None)
