@@ -47,6 +47,8 @@ def _load():
                             i32p, f32p, c_int, u8p]
     lib.eff_warp_patches.argtypes = [u8p, c_int, c_int, f32p, c_int, c_float,
                                      u8p]
+    lib.eff_patch_sift_responses.argtypes = [u8p, c_int, f32p]
+    lib.eff_hash_project.argtypes = [f32p, c_int, f32p, c_int, u8p]
     _lib = lib
     return lib
 
@@ -103,4 +105,26 @@ def warp_patches(img: np.ndarray, x, y, size, angle,
     out = np.zeros((n, 32, 32), np.uint8)
     lib.eff_warp_patches(img, img.shape[0], img.shape[1], kps, n,
                          np.float32(cropping_scale), out)
+    return out
+
+
+def patch_sift_responses(patches: np.ndarray) -> np.ndarray:
+    lib = _load()
+    patches = np.ascontiguousarray(patches, np.uint8)
+    n = patches.shape[0]
+    out = np.zeros((n, 129), np.float32)
+    lib.eff_patch_sift_responses(patches, n, out)
+    return out
+
+
+def hash_sift_descriptors(img: np.ndarray, x, y, size, angle, *, nbits=256,
+                          cropping_scale=1.0) -> np.ndarray:
+    from ..models.params import load_hash_sift_matrix
+    lib = _load()
+    patches = warp_patches(img, x, y, size, angle, cropping_scale)
+    responses = patch_sift_responses(patches)
+    b = np.ascontiguousarray(load_hash_sift_matrix(nbits), np.float32)
+    n = responses.shape[0]
+    out = np.zeros((n, nbits // 8), np.uint8)
+    lib.eff_hash_project(responses, n, b, nbits, out)
     return out

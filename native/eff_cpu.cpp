@@ -209,3 +209,105 @@ void eff_warp_patches(const uint8_t* img, int h, int w,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// HashSIFT (full native path): patch SIFT responses + hash projection
+// (mirrors cpu/descriptors.py patch_sift_responses / hash_sift_descriptors)
+// ---------------------------------------------------------------------------
+extern "C" {
+
+// (n, 32, 32) u8 patches -> (n, 129) float responses [1, d0..d127]
+void eff_patch_sift_responses(const uint8_t* patches, int n, float* out) {
+  constexpr int R_BINS = 4, C_BINS = 4, ORI_BINS = 8;
+  constexpr float kSclFctr = 3.0f, kKpScale = 1.0f / 6.0f;
+  constexpr float kMagTh = 0.2f, kIntFactor = 512.0f;
+  const float kp_radius = kKpScale * 32.0f * 0.5f;
+  const float kernel_sigma = 0.5f * C_BINS * kSclFctr * kp_radius;
+  const float dist_scale = -1.0f / (2.0f * kernel_sigma * kernel_sigma);
+  const float scale_rc = 1.0f / (kSclFctr * kp_radius);
+  const float scale_o = ORI_BINS / 6.283185307179586f;
+
+  for (int i = 0; i < n; ++i) {
+    const uint8_t* p = patches + static_cast<size_t>(i) * 1024;
+    float hist[R_BINS + 2][C_BINS + 2][ORI_BINS + 2] = {};
+    for (int y = 1; y < 31; ++y) {
+      for (int x = 1; x < 31; ++x) {
+        const float mag_scale = std::exp(
+            dist_scale * (static_cast<float>((x - 16) * (x - 16)) +
+                          static_cast<float>((y - 16) * (y - 16))));
+        const float dx = static_cast<float>(p[y * 32 + x + 1]) -
+                         static_cast<float>(p[y * 32 + x - 1]);
+        const float dy = static_cast<float>(p[(y - 1) * 32 + x]) -
+                         static_cast<float>(p[(y + 1) * 32 + x]);
+        const float mag = mag_scale * std::sqrt(dx * dx + dy * dy);
+        const float ori = std::atan2(dy, dx);
+        const float rbin = scale_rc * (y - 16.0f) + 1.5f;
+        const float cbin = scale_rc * (x - 16.0f) + 1.5f;
+        const int ri = static_cast<int>(std::floor(rbin));
+        const float rf = rbin - ri;
+        const int ci = static_cast<int>(std::floor(cbin));
+        const float cf = cbin - ci;
+        const float ob = scale_o * ori;
+        int oi = static_cast<int>(std::floor(ob));
+        const float of = ob - oi;
+        if (oi < 0) oi += ORI_BINS;
+        if (oi >= ORI_BINS) oi -= ORI_BINS;
+        const float v1 = rf * mag, v0 = mag - v1;
+        const float v01 = cf * v0, v00 = v0 - v01;
+        const float v11 = cf * v1, v10 = v1 - v11;
+        const float vals[4] = {v00, v01, v10, v11};
+        const int drs[4] = {0, 0, 1, 1};
+        const int dcs[4] = {0, 1, 0, 1};
+        for (int k = 0; k < 4; ++k) {
+          const float vh = of * vals[k];
+          const float vl = vals[k] - vh;
+          hist[ri + 1 + drs[k]][ci + 1 + dcs[k]][oi] += vl;
+          hist[ri + 1 + drs[k]][ci + 1 + dcs[k]][oi + 1] += vh;
+        }
+      }
+    }
+    float desc[128];
+    for (int r = 0; r < R_BINS; ++r) {
+      for (int c = 0; c < C_BINS; ++c) {
+        float* hp = hist[r + 1][c + 1];
+        hp[0] += hp[ORI_BINS];
+        hp[1] += hp[ORI_BINS + 1];
+        for (int k = 0; k < ORI_BINS; ++k)
+          desc[(r * R_BINS + c) * ORI_BINS + k] = hp[k];
+      }
+    }
+    for (int pass = 0; pass < 2; ++pass) {
+      float sum = 0.0f;
+      for (float v : desc) sum += v * v;
+      const float scale = 1.0f / std::max(std::sqrt(sum), 1.1920929e-07f);
+      for (float& v : desc) v *= scale;
+      if (pass == 0)
+        for (float& v : desc) v = std::min(v, kMagTh);
+    }
+    float* row = out + static_cast<size_t>(i) * 129;
+    row[0] = 1.0f;
+    for (int k = 0; k < 128; ++k) {
+      const float v = kIntFactor * desc[k];
+      row[k + 1] = std::min(std::max(std::floor(v + 0.5f), 0.0f), 255.0f);
+    }
+  }
+}
+
+// responses (n, 129) @ B^T (nbits, 129) -> sign bits, MSB-first bytes
+void eff_hash_project(const float* responses, int n, const float* b_matrix,
+                      int nbits, uint8_t* out) {
+  const int nbytes = nbits / 8;
+  for (int i = 0; i < n; ++i) {
+    const float* r = responses + static_cast<size_t>(i) * 129;
+    uint8_t* dst = out + static_cast<size_t>(i) * nbytes;
+    std::memset(dst, 0, nbytes);
+    for (int b = 0; b < nbits; ++b) {
+      const float* w = b_matrix + static_cast<size_t>(b) * 129;
+      float acc = 0.0f;
+      for (int k = 0; k < 129; ++k) acc += r[k] * w[k];
+      dst[b / 8] |= static_cast<uint8_t>(acc > 0.0f) << (7 - b % 8);
+    }
+  }
+}
+
+}  // extern "C"

@@ -50,3 +50,14 @@ def test_native_warp_close():
     # libm trig ULPs can flip isolated pixels by one gray level
     assert d.max() <= 1
     assert (d != 0).mean() < 1e-3
+
+
+@pytest.mark.parametrize("nbits", [256, 512])
+def test_native_hash_sift_close(nbits):
+    img = make_test_image(220, 300, seed=45)
+    x, y, size, angle = make_keypoints(220, 300, 60, seed=9)
+    a = DC.hash_sift_descriptors(img, x, y, size, angle, nbits=nbits)
+    b = NT.hash_sift_descriptors(img, x, y, size, angle, nbits=nbits)
+    # float accumulation order differs (sequential C++ vs vectorized NumPy);
+    # the reference's 1e-4 nonzero-byte budget applies
+    assert (a != b).sum() <= int(1e-4 * a.size) + 1
