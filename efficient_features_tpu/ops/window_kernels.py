@@ -8,11 +8,13 @@ instead each keypoint DMAs one aligned image window (80 rows x 256 lanes) into
 VMEM and every scattered read becomes an MXU bilinear form, arranged so
 results land lane-major:
 
-    Z = win @ colFactor^T        (one bf16 MXU matmul per factor)
+    Z = win @ colFactor^T        (one MXU matmul per factor)
     result_row = sum_rows(rowFactor^T * Z)   (VPU sublane reduction)
 
-For BAD the factors are box column/row range indicators ({0,1}, bf16-exact, so
-box sums are exact integers); for the HashSIFT warp the column factor is the
+For BAD the factors are box column/row range indicators ({0,1}) and the
+matmul runs on the int8 MXU path (2x the bf16 rate): pixels are re-biased to
+[-128, 127] and the exactly-known -128*area bias is added back, so box sums
+are exact int32; for the HashSIFT warp the column factor is the
 horizontal bilinear weight split into bf16 hi+lo (a 16-bit quantization the
 CPU oracle mirrors) and the row factor is the full-precision vertical weight
 on the VPU; for IC-angle both factors are integer masks.  All arithmetic is
@@ -185,31 +187,34 @@ def _bad_kernel(by_ref, bx_ref, meta_ref, nstart_ref,
         win_rot = pltpu.roll(win_ref[slot].astype(jnp.int32),
                              (WIN_W - shift_x) % WIN_W, 1)
         win_rot = pltpu.roll(win_rot, (WIN_H - shift_y) % WIN_H, 0)
-        win = jax.lax.slice(win_rot, (0, 0),
-                            (ch, cw)).astype(jnp.bfloat16)
+        # int8 MXU path (2x the bf16 rate): pixels re-biased to [-128, 127];
+        # the -128 bias contributes exactly -128*area to each box sum (every
+        # selected cell is biased by -128 and valid box ranges stay inside
+        # the compacted sub-window), undone below.  All values stay exact
+        # int32: box sums <= 255*63*63 ~ 1.0e6.
+        win8 = (jax.lax.slice(win_rot, (0, 0), (ch, cw))
+                - 128).astype(jnp.int8)
 
         def box_sums(cy, cx):
             iy1 = jnp.clip(cy - tbr, lo_y, hi_y - 1)
             iy2 = jnp.clip(cy + tbr + 1, lo_y + 1, hi_y)
             ix1 = jnp.clip(cx - tbr, lo_x, hi_x - 1)
             ix2 = jnp.clip(cx + tbr + 1, lo_x + 1, hi_x)
-            cc = ((cols_t >= ix1) & (cols_t < ix2)).astype(jnp.bfloat16)
-            rr = ((rows_t >= iy1) & (rows_t < iy2)).astype(jnp.float32)
-            z = jnp.dot(win, cc, preferred_element_type=jnp.float32)
-            ssum = (rr * z).sum(axis=0, keepdims=True)      # (1, nbits)
-            area = ((iy2 - iy1) * (ix2 - ix1)).astype(jnp.float32)
-            return ssum, area
+            cc = ((cols_t >= ix1) & (cols_t < ix2)).astype(jnp.int32)
+            rr = ((rows_t >= iy1) & (rows_t < iy2)).astype(jnp.int32)
+            z = jnp.dot(win8, cc.astype(jnp.int8),
+                        preferred_element_type=jnp.int32)
+            area = (iy2 - iy1) * (ix2 - ix1)                # (1, nbits)
+            ssum = (rr * z).sum(axis=0, keepdims=True) + 128 * area
+            return ssum, area                               # exact int32
 
-        s1, a1 = box_sums(ty1, tx1)
-        s2, a2 = box_sums(ty2, tx2)
+        s1i, a1i = box_sums(ty1, tx1)
+        s2i, a2i = box_sums(ty2, tx2)
         side = (1 + 2 * tbr).astype(jnp.float32)
-        bit_fast = (s1 - s2) <= thv * (side * side)
+        bit_fast = ((s1i - s2i).astype(jnp.float32)
+                    <= thv * (side * side))
         # division-free border compare in exact int32 (TPU f32 division is a
         # reciprocal approximation; see cpu.descriptors.bad_descriptors)
-        s1i = s1.astype(jnp.int32)
-        s2i = s2.astype(jnp.int32)
-        a1i = a1.astype(jnp.int32)
-        a2i = a2.astype(jnp.int32)
         lhs = (s1i * a2i - s2i * a1i).astype(jnp.float32)
         bit_border = lhs <= thv * (a1i * a2i).astype(jnp.float32)
 
