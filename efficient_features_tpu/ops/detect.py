@@ -160,34 +160,67 @@ def radius_nms(resp: jax.Array, corner: jax.Array, radius: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def select_topk(resp: jax.Array, survivor: jax.Array, quota: int):
+def select_topk(resp: jax.Array, survivor: jax.Array, quota: int,
+                nms_radius: int | None = None):
     """Top `quota` survivors by (response desc, flat index asc).
 
     Returns (ys, xs, resp, valid) fixed-shape (quota,) arrays.  jax.lax.top_k
     is stable (ties resolved to the lowest index), matching the oracle's
     lexsort semantics exactly.
 
-    For small quotas a two-stage exact top-k runs first per 32K chunk and then
+    A two-stage exact top-k runs first per row-aligned ~32K chunk and then
     over the per-chunk winners: any global top-k element is in its chunk's
     top-k, and chunk-major concatenation preserves the global index order of
     ties, so the result is identical to the flat top-k (~35% faster on large
-    maps).
+    maps).  For large quotas the per-chunk k is instead capped by the NMS
+    sparsity bound (untied survivors in one row are >= `nms_radius` apart,
+    so a chunk of `rows` rows holds at most rows*(ceil(w/radius)+1) untied
+    survivors); tied co-survivors can exceed the bound, so per-chunk survivor
+    counts are checked and any overflow falls back to the flat exact top-k
+    via lax.cond — the capped path is therefore bit-exact for every input.
     """
     h, w = resp.shape
     masked = jnp.where(survivor, resp, RESP_SENTINEL).reshape(-1)
-    quota = min(quota, h * w)
+    n = h * w
+    quota = min(quota, n)
 
-    chunk = 32768
-    if quota <= chunk // 4 and h * w >= 4 * chunk:
-        n_pad = -(-h * w // chunk) * chunk
-        m = jnp.pad(masked, (0, n_pad - h * w),
-                    constant_values=RESP_SENTINEL).reshape(-1, chunk)
-        v1, i1 = jax.lax.top_k(m, quota)
-        gidx = i1 + (jnp.arange(m.shape[0], dtype=jnp.int32) * chunk)[:, None]
-        vals, i2 = jax.lax.top_k(v1.reshape(-1), quota)
-        idx = jnp.take(gidx.reshape(-1), i2)
-    else:
-        vals, idx = jax.lax.top_k(masked, quota)
+    def flat(_=None):
+        v, i = jax.lax.top_k(masked, quota)
+        return v, i
+
+    chunk0 = 32768
+    vals = idx = None
+    if n >= 4 * chunk0 and w <= chunk0 // 2:
+        rows = max(1, chunk0 // w)
+        csize = rows * w
+        nchunks = -(-n // csize)
+        k1 = checked = None
+        if quota <= csize // 4:
+            k1, checked = quota, False
+        elif nms_radius is not None:
+            cap = min(csize // 2,
+                      -(-(rows * (-(-w // nms_radius) + 1)) // 128) * 128)
+            if cap < quota and nchunks * cap >= quota:
+                k1, checked = cap, True
+        if k1 is not None:
+            m = jnp.pad(masked, (0, nchunks * csize - n),
+                        constant_values=RESP_SENTINEL).reshape(nchunks, csize)
+            v1, i1 = jax.lax.top_k(m, k1)
+            gidx = i1 + (jnp.arange(nchunks, dtype=jnp.int32)
+                         * csize)[:, None]
+
+            def merged(_=None):
+                v, i2 = jax.lax.top_k(v1.reshape(-1), quota)
+                return v, jnp.take(gidx.reshape(-1), i2)
+
+            if checked:
+                counts = (m != RESP_SENTINEL).sum(axis=1)
+                vals, idx = jax.lax.cond(jnp.any(counts > k1), flat, merged,
+                                         None)
+            else:
+                vals, idx = merged()
+    if vals is None:
+        vals, idx = flat()
     valid = vals != RESP_SENTINEL
     ys = (idx // w).astype(jnp.int32)
     xs = (idx % w).astype(jnp.int32)

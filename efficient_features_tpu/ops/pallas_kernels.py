@@ -129,10 +129,11 @@ def _fast_harris_kernel(dims_ref, img_hbm, out_ref, win_ref, sem,
 
 
 def _tile_dims(h, w):
-    # sized so that all live VMEM temporaries of the unrolled kernels fit
-    # comfortably under the ~16MB scoped VMEM budget
+    # per-tile fixed cost (window DMA issue + grid step) is significant, so
+    # prefer wide tiles: 4K at (128, 1024) runs ~30% faster than (128, 512)
+    # while all live VMEM temporaries stay well under the raised vmem limit
     tile_h = min(128, max(8, -(-h // 8) * 8))
-    tile_w = min(512, max(128, -(-w // 128) * 128))
+    tile_w = min(1024, max(128, -(-w // 128) * 128))
     return tile_h, tile_w
 
 

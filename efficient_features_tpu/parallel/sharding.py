@@ -126,7 +126,8 @@ def detect_rows_sharded(image: jax.Array, cfg: P.FeatureConfig, mesh: Mesh,
                 (jnp.arange(ext.shape[0]) < _HALO + bh)
         surv = surv & owned[:, None]
 
-        ys_l, xs_l, r_l, v_l = OD.select_topk(resp, surv, quota)
+        ys_l, xs_l, r_l, v_l = OD.select_topk(resp, surv, quota,
+                                              nms_radius=cfg.nonmax_radius)
         ys_g = jnp.where(v_l, ys_l - _HALO + i * bh, 0)
         # gather all bands' candidates and merge to global top-k
         ys_all = jax.lax.all_gather(ys_g, axis).reshape(-1)
@@ -261,7 +262,8 @@ def detect_pyramid_rows_sharded(image: jax.Array, cfg: P.FeatureConfig,
                     (jnp.arange(ext.shape[0]) < _HALO + bh[s])
             surv = surv & owned[:, None]
 
-            ys_l, xs_l, r_l, v_l = OD.select_topk(resp, surv, quota)
+            ys_l, xs_l, r_l, v_l = OD.select_topk(resp, surv, quota,
+                                              nms_radius=cfg.nonmax_radius)
             from ..ops import orientation as OO
             ang_l = OO.ic_angles(ext, ys_l, xs_l, v_l)
             ys_g = jnp.where(v_l, ys_l - _HALO + i * bh[s], 0)

@@ -83,7 +83,8 @@ def _detect_level(img, quota, cfg: FeatureConfig, lvl_mask=None):
             surv = PK.radius_nms(resp_masked, cfg.nonmax_radius)
             suppressed = jnp.where(surv, resp_masked, jnp.float32(-jnp.inf))
         ys, xs, r, valid = ops_detect.select_topk(
-            suppressed, suppressed != jnp.float32(-jnp.inf), quota)
+            suppressed, suppressed != jnp.float32(-jnp.inf), quota,
+            nms_radius=cfg.nonmax_radius)
         ang = WK.ic_angles_windows(img, ys, xs, valid)
         return ys, xs, r, ang, valid
     corner = ops_detect.fast_corner_mask(img, cfg.fast_threshold)
@@ -97,7 +98,8 @@ def _detect_level(img, quota, cfg: FeatureConfig, lvl_mask=None):
         corner = corner & lvl_mask
     resp = ops_detect.harris_response(img)
     surv = ops_detect.radius_nms(resp, corner, cfg.nonmax_radius)
-    ys, xs, r, valid = ops_detect.select_topk(resp, surv, quota)
+    ys, xs, r, valid = ops_detect.select_topk(resp, surv, quota,
+                                              nms_radius=cfg.nonmax_radius)
     ang = ops_orient.ic_angles(img, ys, xs, valid)
     return ys, xs, r, ang, valid
 

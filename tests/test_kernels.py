@@ -62,6 +62,29 @@ def test_bad_window_kernel_exact(img):
         assert (a != b).sum() <= budget
 
 
+def test_bad_window_kernel_pixel_extremes():
+    """int8 MXU path: pixels re-biased to [-128, 127] must stay exact at the
+    saturated ends (0 -> -128, 255 -> 127) and across hard 0/255 edges."""
+    img = np.zeros((160, 256), np.uint8)
+    img[:, 128:] = 255
+    img[40:80, 40:80] = 255
+    img[100:140, 160:200] = 0
+    n = 24
+    rng = np.random.default_rng(9)
+    x = rng.uniform(34, 222, n).astype(np.float32)
+    y = rng.uniform(34, 126, n).astype(np.float32)
+    size = np.full(n, 31.0, np.float32)
+    angle = np.full(n, -1.0, np.float32)   # no rotation: no trig ULPs
+    valid = np.ones(n, bool)
+    for nbits in (256, 512):
+        a = DC.bad_descriptors(img, x, y, size, angle, nbits=nbits)
+        b = np.asarray(WK.bad_descriptors_windows(
+            jnp.asarray(img), jnp.asarray(x), jnp.asarray(y),
+            jnp.asarray(size), jnp.asarray(angle), jnp.asarray(valid),
+            nbits, 1.0))
+        np.testing.assert_array_equal(a, b)
+
+
 def test_warp_window_kernel_exact(img):
     h, w = img.shape
     x, y, size, angle = make_keypoints(h, w, 12, seed=5)

@@ -90,6 +90,46 @@ def test_topk_selection_identical(img):
     np.testing.assert_array_equal(np.asarray(jr)[:n], r)
 
 
+def test_topk_capped_path_exact():
+    """Large-quota select_topk uses the NMS-sparsity-capped per-chunk k with
+    an exact lax.cond fallback; both arms must match the flat lexsort."""
+    rng = np.random.default_rng(11)
+    h, w = 384, 1024   # n = 4*96K >= 4*32K triggers the chunked path
+
+    def oracle(resp, surv, quota):
+        flat = np.where(surv, resp, -np.inf).reshape(-1)
+        order = np.lexsort((np.arange(flat.size), -flat))[:quota]
+        keep = flat[order] != -np.inf
+        return order[keep], flat[order][keep]
+
+    # sparse survivors (capped path, no overflow): quota > csize//4
+    resp = rng.standard_normal((h, w)).astype(np.float32)
+    surv = rng.random((h, w)) < 0.01
+    quota = 16384
+    jys, jxs, jr, jv = OD.select_topk(jnp.asarray(resp), jnp.asarray(surv),
+                                      quota, nms_radius=15)
+    oidx, ovals = oracle(resp, surv, quota)
+    n = int(np.asarray(jv).sum())
+    assert n == len(oidx)
+    got = np.asarray(jys)[:n].astype(np.int64) * w + np.asarray(jxs)[:n]
+    np.testing.assert_array_equal(got, oidx)
+    np.testing.assert_array_equal(np.asarray(jr)[:n], ovals)
+
+    # dense tied survivors (per-chunk counts overflow the cap -> flat
+    # fallback): every pixel survives with one of two tied responses
+    resp2 = np.where((np.arange(h * w) % 3 == 0).reshape(h, w),
+                     np.float32(2.0), np.float32(1.0))
+    surv2 = np.ones((h, w), bool)
+    jys, jxs, jr, jv = OD.select_topk(jnp.asarray(resp2), jnp.asarray(surv2),
+                                      quota, nms_radius=15)
+    oidx, ovals = oracle(resp2, surv2, quota)
+    n = int(np.asarray(jv).sum())
+    assert n == len(oidx) == quota
+    got = np.asarray(jys)[:n].astype(np.int64) * w + np.asarray(jxs)[:n]
+    np.testing.assert_array_equal(got, oidx)
+    np.testing.assert_array_equal(np.asarray(jr)[:n], ovals)
+
+
 def test_ic_angles_close(img):
     corner = R.fast_corner_mask(img, 20)
     border = np.zeros_like(corner)
