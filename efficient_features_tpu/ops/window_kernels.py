@@ -342,6 +342,9 @@ def _bad_descriptors_windows_impl(image, x, y, size, angle, valid,
 # ---------------------------------------------------------------------------
 
 _IC_KPB = 128
+# IC only reads the 31px disc: a 40-row window (8-row base alignment slack
+# + 31 rows) halves the per-keypoint DMA traffic vs the shared 80-row plan
+_IC_WIN_H = 40
 
 
 def _ic_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref, umax_ref,
@@ -352,7 +355,7 @@ def _ic_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref, umax_ref,
 
     def get_dma(slot, idx):
         return pltpu.make_async_copy(
-            img_hbm.at[pl.ds(pl.multiple_of(by_ref[idx], 8), WIN_H),
+            img_hbm.at[pl.ds(pl.multiple_of(by_ref[idx], 8), _IC_WIN_H),
                        pl.ds(pl.multiple_of(bx_ref[idx], 128), WIN_W)],
             win_ref.at[slot], sem.at[slot])
 
@@ -381,14 +384,14 @@ def _ic_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref, umax_ref,
         cw = 128
         shift = xloc - 64
 
-        rows_i = jax.lax.broadcasted_iota(jnp.int32, (npr, WIN_H), 1)
-        p_i = jax.lax.broadcasted_iota(jnp.int32, (npr, WIN_H), 0)
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (npr, _IC_WIN_H), 1)
+        p_i = jax.lax.broadcasted_iota(jnp.int32, (npr, _IC_WIN_H), 0)
         onerow = (rows_i == p_i + (yloc - r)).astype(jnp.bfloat16)
 
         win_rot = pltpu.roll(win_ref[slot].astype(jnp.int32),
                              (WIN_W - shift) % WIN_W, 1)
         win = jax.lax.slice(win_rot, (0, 0),
-                            (WIN_H, cw)).astype(jnp.bfloat16)
+                            (_IC_WIN_H, cw)).astype(jnp.bfloat16)
         t = jnp.dot(onerow, win, preferred_element_type=jnp.float32)
 
         dyv = jax.lax.broadcasted_iota(jnp.int32, (npr, cw), 0) - r
@@ -408,8 +411,14 @@ def _ic_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref, umax_ref,
 def _ic_angles_windows_impl(image, ys, xs, valid):
     """IC-angle via the window kernel; exact integer moments, f32 atan2."""
     h, w = image.shape
-    base_y, base_x, pad_h, pad_w = plan_windows(
-        xs.astype(jnp.float32), ys.astype(jnp.float32), h, w)
+    # private 40-row plan: base_y = ((y-15)//8)*8 puts the disc rows
+    # [y-15, y+15] inside [base_y, base_y+38) for every interior keypoint
+    pad_h = max(-(-h // 8) * 8, _IC_WIN_H)
+    pad_w = max(-(-w // 128) * 128, WIN_W)
+    base_y = jnp.clip(((ys.astype(jnp.int32) - S.HALF_PATCH_SIZE) // 8) * 8,
+                      0, pad_h - _IC_WIN_H)
+    base_x = jnp.clip(((xs.astype(jnp.int32) - 96) // 128) * 128,
+                      0, pad_w - WIN_W)
     padded = pad_image(image, pad_h, pad_w)
     order = jnp.argsort(base_y.astype(jnp.int32) * jnp.int32(1 << 15)
                         + base_x.astype(jnp.int32))
@@ -437,7 +446,7 @@ def _ic_angles_windows_impl(image, ys, xs, valid):
             out_specs=pl.BlockSpec((_IC_KPB, 2), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, WIN_H, WIN_W), jnp.uint8),
+                pltpu.VMEM((2, _IC_WIN_H, WIN_W), jnp.uint8),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
