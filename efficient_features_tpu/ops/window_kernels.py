@@ -379,23 +379,19 @@ def _ic_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref, umax_ref,
 
         yloc = kp_ref[k, 0] - by_ref[idx]
         xloc = kp_ref[k, 1] - bx_ref[idx]
-        # column compaction: keypoint column rotated to 64, keep 128 lanes
-        # (the 15px disc fits easily); dxv becomes a constant grid
-        cw = 128
-        shift = xloc - 64
-
+        # no column compaction: dxv = col - xloc is a broadcast compare
+        # against a scalar, and the umax disc mask keeps |dxv| <= 15 so all
+        # f32 moment sums stay exact integers — this avoids a per-keypoint
+        # unaligned lane roll of the whole window
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (npr, _IC_WIN_H), 1)
         p_i = jax.lax.broadcasted_iota(jnp.int32, (npr, _IC_WIN_H), 0)
         onerow = (rows_i == p_i + (yloc - r)).astype(jnp.bfloat16)
 
-        win_rot = pltpu.roll(win_ref[slot].astype(jnp.int32),
-                             (WIN_W - shift) % WIN_W, 1)
-        win = jax.lax.slice(win_rot, (0, 0),
-                            (_IC_WIN_H, cw)).astype(jnp.bfloat16)
+        win = win_ref[slot].astype(jnp.int32).astype(jnp.bfloat16)
         t = jnp.dot(onerow, win, preferred_element_type=jnp.float32)
 
-        dyv = jax.lax.broadcasted_iota(jnp.int32, (npr, cw), 0) - r
-        dxv = jax.lax.broadcasted_iota(jnp.int32, (npr, cw), 1) - 64
+        dyv = jax.lax.broadcasted_iota(jnp.int32, (npr, WIN_W), 0) - r
+        dxv = jax.lax.broadcasted_iota(jnp.int32, (npr, WIN_W), 1) - xloc
         umax = umax_ref[...][0:npr, 0:1]
         mask = (jnp.abs(dxv) <= umax).astype(jnp.float32)
         m10 = (t * (dxv.astype(jnp.float32) * mask)).sum()
