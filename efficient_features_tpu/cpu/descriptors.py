@@ -34,6 +34,14 @@ def _round_num(v: np.ndarray) -> np.ndarray:
     return np.trunc(v + np.float32(0.5)).astype(np.int32)
 
 
+def _trunc12(v: np.ndarray) -> np.ndarray:
+    """Truncate |v| to 12 significant bits (zero the low 12 mantissa bits);
+    products of two such values are exact in f32.  Must match ops.bad._trunc12
+    and native eff_bad bit-for-bit."""
+    iv = np.ascontiguousarray(v, np.float32).view(np.int32)
+    return (iv & np.int32(~0xFFF)).view(np.float32)
+
+
 def _affine_rows(x, y, size, angle, scale_factor, pw=PATCH_W, ph=PATCH_H):
     """Patch->image affine (cuda_bad.cu:121-147 / cuda_hash_sift.cu:136-155).
 
@@ -130,12 +138,24 @@ def bad_descriptors(image: np.ndarray, x, y, size, angle, *,
     # border-safe response: the reference compares sum1/area1 - sum2/area2
     # <= th (cuda_bad.cu:227-242); we use the equivalent division-free
     # cross-multiplied form (areas > 0) because TPU f32 division is a
-    # reciprocal approximation, not IEEE — the int32 products are exact and
-    # the comparison is deterministic on every backend.
+    # reciprocal approximation, not IEEE — the integer products are exact and
+    # the comparison is deterministic on every backend.  TPU has no int64, so
+    # the contract branches: while a1*a2 < 2^22 the products fit int32 (int64
+    # here computes the identical value); for larger boxes all backends use
+    # 12-significant-bit truncated f32 operands whose products are exact.
     s1b, a1b = box_sum_clamped(tx1, ty1, tbr)
     s2b, a2b = box_sum_clamped(tx2, ty2, tbr)
+    a1f = a1b.astype(np.float32)
+    a2f = a2b.astype(np.float32)
+    safe = a1f * a2f < np.float32(1 << 22)
     lhs = (s1b * a2b - s2b * a1b).astype(np.float32)
-    bit_border = lhs <= th * (a1b * a2b).astype(np.float32)
+    bit_i = lhs <= th * (a1b * a2b).astype(np.float32)
+    s1t = _trunc12(s1b.astype(np.float32))
+    s2t = _trunc12(s2b.astype(np.float32))
+    a1t = _trunc12(a1f)
+    a2t = _trunc12(a2f)
+    bit_t = (s1t * a2t - s2t * a1t) <= th * (a1t * a2t)
+    bit_border = np.where(safe, bit_i, bit_t)
     # interior response (integer, threshold scaled by box area)
     side = 1 + 2 * tbr
     area_resp = (box_sum_fast(tx1, ty1, tbr) - box_sum_fast(tx2, ty2, tbr))
@@ -189,22 +209,16 @@ def warp_patches(image: np.ndarray, x, y, size, angle,
     p01 = im[vic, uic + 1]
     p10 = im[vic + 1, uic]
     p11 = im[vic + 1, uic + 1]
-    # Horizontal weights split into bf16 hi+lo (16-bit significand) and
-    # applied as separate exact products — the TPU window kernel's MXU
-    # bilinear form (hi-matmul + lo-matmul; every product and inner sum exact
-    # in f32) — then the vertical lerp at full f32 on the VPU.  Patches are
-    # bit-identical across backends up to the final vertical lerp (two IEEE
-    # roundings on both sides).  The reference lerps at full precision; the
-    # 2^-16 weight quantization is a documented deviation.
-    from ..utils.semantics import bf16_round
-    wu1 = du
-    wu0 = np.float32(1.0) - du
-    h0 = bf16_round(wu0)
-    l0 = bf16_round(wu0 - h0)
-    h1 = bf16_round(wu1)
-    l1 = bf16_round(wu1 - h1)
-    z_top = (h0 * p00 + h1 * p01) + (l0 * p00 + l1 * p01)
-    z_bot = (h0 * p10 + h1 * p11) + (l0 * p10 + l1 * p11)
+    # Full-f32 bilinear lerp, exactly the reference's arithmetic
+    # (hash_sift.cpp:68-109): the TPU window kernel gathers the four pixel
+    # planes with EXACT one-hot MXU matmuls and applies these same f32
+    # weights on the VPU, so cross-backend differences are limited to IEEE
+    # rounding order (FMA contraction) and cos/sin ULPs — far inside the
+    # reference's own 1e-4 parity budget.
+    h0 = np.float32(1.0) - du
+    h1 = du
+    z_top = h0 * p00 + h1 * p01
+    z_bot = h0 * p10 + h1 * p11
     t2 = (np.float32(1.0) - dv) * z_top + dv * z_bot
     val = np.minimum(np.trunc(t2 + np.float32(0.5)), np.float32(255.0))
     return np.where(valid, val, 0).astype(np.uint8)

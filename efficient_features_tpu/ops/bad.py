@@ -47,6 +47,16 @@ def _round_num(v: jax.Array) -> jax.Array:
     return jnp.trunc(v + np.float32(0.5)).astype(jnp.int32)
 
 
+def _trunc12(v: jax.Array) -> jax.Array:
+    """Truncate |v| to 12 significant bits (zero the low 12 mantissa bits).
+
+    Products of two such values carry <= 24 significant bits and are therefore
+    EXACT in f32 — immune to backend-dependent FMA contraction.  Used by the
+    large-box border compare (see bad_descriptors)."""
+    iv = jax.lax.bitcast_convert_type(v, jnp.int32)
+    return jax.lax.bitcast_convert_type(iv & jnp.int32(~0xFFF), jnp.float32)
+
+
 def bad_descriptors(integral: jax.Array, x, y, size, angle, valid, *,
                     nbits: int = 256, scale_factor: float = 1.0,
                     origin=(0, 0), frame_hw=None) -> jax.Array:
@@ -115,11 +125,25 @@ def bad_descriptors(integral: jax.Array, x, y, size, angle, valid, *,
 
     # division-free border compare (see cpu.descriptors.bad_descriptors):
     # TPU f32 division is a reciprocal approximation, so compare
-    # s1*a2 - s2*a1 <= th * a1*a2 with exact int32 products instead
+    # s1*a2 - s2*a1 <= th * a1*a2 with exact int32 products.  The int32
+    # products are exact only while a1*a2 < 2^22 (then |s*a| <= 255*a1*a2
+    # < 2^30); for larger boxes (user keypoints with size ≳ 120) switch to
+    # 12-significant-bit truncated f32 operands whose products are exact —
+    # both branches are deterministic and bit-identical across backends.
     s1b, a1b = box_sum_clamped(tx1, ty1, tbr)
     s2b, a2b = box_sum_clamped(tx2, ty2, tbr)
-    lhs = (s1b * a2b - s2b * a1b).astype(jnp.float32)
-    bit_border = lhs <= th * (a1b * a2b).astype(jnp.float32)
+    a1f = a1b.astype(jnp.float32)
+    a2f = a2b.astype(jnp.float32)
+    safe = a1f * a2f < np.float32(1 << 22)
+    lhs_i = (s1b * a2b - s2b * a1b).astype(jnp.float32)
+    rhs_i = th * (a1b * a2b).astype(jnp.float32)
+    s1t = _trunc12(s1b.astype(jnp.float32))
+    s2t = _trunc12(s2b.astype(jnp.float32))
+    a1t = _trunc12(a1f)
+    a2t = _trunc12(a2f)
+    lhs_t = s1t * a2t - s2t * a1t
+    rhs_t = th * (a1t * a2t)
+    bit_border = jnp.where(safe, lhs_i <= rhs_i, lhs_t <= rhs_t)
 
     side = 1 + 2 * tbr
     area_resp = box_sum_fast(tx1, ty1, tbr) - box_sum_fast(tx2, ty2, tbr)

@@ -160,7 +160,7 @@ def fast_harris(image: jax.Array, threshold: int) -> jax.Array:
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(gh, gw),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
@@ -257,7 +257,7 @@ def radius_nms(resp: jax.Array, radius: int) -> jax.Array:
     out = pl.pallas_call(
         kernel,
         grid=(gh, gw),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -422,7 +422,7 @@ def fast_harris_nms(image: jax.Array, threshold: int, radius: int) -> jax.Array:
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(gh, gw),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[

@@ -76,9 +76,15 @@ def detect_and_compute_batch(images: jax.Array, cfg: P.FeatureConfig,
 # sp: one image row-sharded with halo exchange
 # ---------------------------------------------------------------------------
 
-# Halo: an owned pixel's NMS disc reaches |dy| <= 14 into the halo, and those
-# neighbours need their own correct FAST (+3) / Harris (+4) support: >= 18.
-_HALO = 24
+# Halo: an owned pixel's NMS disc reaches |dy| <= nonmax_radius into the halo,
+# and those neighbours need their own correct FAST (+3) / Harris (+4) support;
+# IC-angle support needs 15 rows.  Derived per config, min 24 (covers the
+# default radius 15 and IC angles), rounded up to a sublane multiple of 8.
+
+
+def _halo_rows(cfg) -> int:
+    need = cfg.nonmax_radius + 4
+    return max(24, -(-need // 8) * 8)
 
 
 def detect_rows_sharded(image: jax.Array, cfg: P.FeatureConfig, mesh: Mesh,
@@ -95,14 +101,15 @@ def detect_rows_sharded(image: jax.Array, cfg: P.FeatureConfig, mesh: Mesh,
     h, w = image.shape
     assert h % n == 0, "image rows must divide the mesh"
     quota = quota or cfg.nfeatures
+    halo = _halo_rows(cfg)
 
     def band_fn(band):  # band: (h/n, w)
         i = jax.lax.axis_index(axis)
         bh = band.shape[0]
         # halo exchange over the ICI ring: send bottom rows down, top rows up
-        top_halo = jax.lax.ppermute(band[-_HALO:], axis,
+        top_halo = jax.lax.ppermute(band[-halo:], axis,
                                     [(j, (j + 1) % n) for j in range(n)])
-        bot_halo = jax.lax.ppermute(band[:_HALO], axis,
+        bot_halo = jax.lax.ppermute(band[:halo], axis,
                                     [(j, (j - 1) % n) for j in range(n)])
         # first/last band have no real neighbour: zero the wrapped halo
         top_halo = jnp.where(i == 0, 0, top_halo)
@@ -113,7 +120,7 @@ def detect_rows_sharded(image: jax.Array, cfg: P.FeatureConfig, mesh: Mesh,
         # the global border mask applies BEFORE NMS: border-excluded corners
         # never enter the candidate set (createMask feeds the FAST kernel,
         # cuda_efficient_features.cpp:250,259) and so cannot suppress anyone
-        row_ids = jnp.arange(ext.shape[0]) - _HALO + i * bh
+        row_ids = jnp.arange(ext.shape[0]) - halo + i * bh
         gborder = (row_ids >= S.HALF_PATCH_SIZE) & \
                   (row_ids < h - S.HALF_PATCH_SIZE)
         col_ok = jnp.zeros((w,), bool).at[
@@ -122,13 +129,13 @@ def detect_rows_sharded(image: jax.Array, cfg: P.FeatureConfig, mesh: Mesh,
         resp = OD.harris_response(ext)
         surv = OD.radius_nms(resp, corner, cfg.nonmax_radius)
         # keep only detections in the owned band
-        owned = (jnp.arange(ext.shape[0]) >= _HALO) & \
-                (jnp.arange(ext.shape[0]) < _HALO + bh)
+        owned = (jnp.arange(ext.shape[0]) >= halo) & \
+                (jnp.arange(ext.shape[0]) < halo + bh)
         surv = surv & owned[:, None]
 
         ys_l, xs_l, r_l, v_l = OD.select_topk(resp, surv, quota,
                                               nms_radius=cfg.nonmax_radius)
-        ys_g = jnp.where(v_l, ys_l - _HALO + i * bh, 0)
+        ys_g = jnp.where(v_l, ys_l - halo + i * bh, 0)
         # gather all bands' candidates and merge to global top-k
         ys_all = jax.lax.all_gather(ys_g, axis).reshape(-1)
         xs_all = jax.lax.all_gather(xs_l, axis).reshape(-1)
@@ -191,7 +198,7 @@ def detect_pyramid_rows_sharded(image: jax.Array, cfg: P.FeatureConfig,
                                   cfg.nlevels)
     bh_min = min(-(-hs // n) for hs, _ in shapes)
     halo_rs_req = max(16, int(np.ceil((n - 1) * cfg.scale_factor)) + 4)
-    if bh_min < max(_HALO, halo_rs_req):
+    if bh_min < max(_halo_rows(cfg), halo_rs_req):
         raise ValueError(
             "pyramid bands shorter than the exchange halo; fewer levels, a "
             "smaller mesh, or detect_jit are required for this image size")
@@ -200,6 +207,7 @@ def detect_pyramid_rows_sharded(image: jax.Array, cfg: P.FeatureConfig,
     # identical to ops.image.resize_u8 / the oracle)
     bh = [-(-hs // n) for hs, _ in shapes]
     halo_rs = max(16, int(np.ceil((n - 1) * cfg.scale_factor)) + 4)
+    halo = _halo_rows(cfg)
     tables = []
     for s in range(1, cfg.nlevels):
         hs, ws = shapes[s]
@@ -248,9 +256,9 @@ def detect_pyramid_rows_sharded(image: jax.Array, cfg: P.FeatureConfig,
 
             # --- per-level detection on the band (cf. detect_rows_sharded) ---
             quota = quotas[s]
-            ext = halo_exchange(cur, _HALO, i)
+            ext = halo_exchange(cur, halo, i)
             corner = OD.fast_corner_mask(ext, cfg.fast_threshold)
-            row_ids = jnp.arange(ext.shape[0]) - _HALO + i * bh[s]
+            row_ids = jnp.arange(ext.shape[0]) - halo + i * bh[s]
             gborder = (row_ids >= S.HALF_PATCH_SIZE) & \
                       (row_ids < hs - S.HALF_PATCH_SIZE)
             col_ok = jnp.zeros((ws,), bool).at[
@@ -258,15 +266,15 @@ def detect_pyramid_rows_sharded(image: jax.Array, cfg: P.FeatureConfig,
             corner = corner & gborder[:, None] & col_ok[None, :]
             resp = OD.harris_response(ext)
             surv = OD.radius_nms(resp, corner, cfg.nonmax_radius)
-            owned = (jnp.arange(ext.shape[0]) >= _HALO) & \
-                    (jnp.arange(ext.shape[0]) < _HALO + bh[s])
+            owned = (jnp.arange(ext.shape[0]) >= halo) & \
+                    (jnp.arange(ext.shape[0]) < halo + bh[s])
             surv = surv & owned[:, None]
 
             ys_l, xs_l, r_l, v_l = OD.select_topk(resp, surv, quota,
                                               nms_radius=cfg.nonmax_radius)
             from ..ops import orientation as OO
             ang_l = OO.ic_angles(ext, ys_l, xs_l, v_l)
-            ys_g = jnp.where(v_l, ys_l - _HALO + i * bh[s], 0)
+            ys_g = jnp.where(v_l, ys_l - halo + i * bh[s], 0)
 
             ys_all = jax.lax.all_gather(ys_g, axis).reshape(-1)
             xs_all = jax.lax.all_gather(xs_l, axis).reshape(-1)

@@ -3,9 +3,9 @@
 // Plays the role of the reference's C++ CPU module modules/efficient_features
 // (bit-compatible CPU implementations used for parity testing and CPU-only
 // deployments).  Semantics follow efficient_features_tpu/utils/semantics.py
-// exactly: integer FAST-9, integer box sums for BAD, and the bf16 hi+lo
-// quantized bilinear warp for HashSIFT, so outputs are bit-identical to both
-// the NumPy oracle and the TPU kernels.
+// exactly: integer FAST-9, integer box sums for BAD, and the full-f32
+// bilinear warp for HashSIFT, so outputs match the NumPy oracle and the TPU
+// kernels to IEEE-rounding-order level.
 //
 // Learned constants (BAD boxes/thresholds, HashSIFT projection) are passed in
 // from Python (loaded from the .npz assets) — no baked-in tables.
@@ -152,8 +152,26 @@ void eff_bad(const uint8_t* img, int h, int w, const int32_t* integral,
         int64_t a1, a2;
         const int64_t s1 = box_sum_area(tx1, ty1, &a1);
         const int64_t s2 = box_sum_area(tx2, ty2, &a2);
-        bit = static_cast<float>(s1 * a2 - s2 * a1) <=
-              thresholds[b] * static_cast<float>(a1 * a2);
+        const float a1f = static_cast<float>(a1), a2f = static_cast<float>(a2);
+        if (a1f * a2f < 4194304.0f) {  // a1*a2 < 2^22: int products exact
+          bit = static_cast<float>(s1 * a2 - s2 * a1) <=
+                thresholds[b] * static_cast<float>(a1 * a2);
+        } else {
+          // large boxes: 12-significant-bit truncated operands make every
+          // f32 product exact (matches ops/bad.py _trunc12 bit-for-bit; TPU
+          // has no int64, so the contract uses this branch there too)
+          auto trunc12 = [](float v) {
+            uint32_t u;
+            std::memcpy(&u, &v, 4);
+            u &= ~0xFFFu;
+            std::memcpy(&v, &u, 4);
+            return v;
+          };
+          const float s1t = trunc12(static_cast<float>(s1));
+          const float s2t = trunc12(static_cast<float>(s2));
+          const float a1t = trunc12(a1f), a2t = trunc12(a2f);
+          bit = (s1t * a2t - s2t * a1t) <= thresholds[b] * (a1t * a2t);
+        }
       } else {
         auto box_sum = [&](int cx, int cy) {
           const int bx1 = cx - tbr, by1 = cy - tbr;
@@ -170,7 +188,7 @@ void eff_bad(const uint8_t* img, int h, int w, const int32_t* integral,
   }
 }
 
-// HashSIFT warped patches, bf16 hi+lo horizontal weights (see
+// HashSIFT warped patches, full-f32 bilinear (see
 // cpu/descriptors.py warp_patches) — (n, 32, 32) u8 out
 void eff_warp_patches(const uint8_t* img, int h, int w,
                       const float* kps_xysa, int n, float cropping_scale,
@@ -193,11 +211,8 @@ void eff_warp_patches(const uint8_t* img, int h, int w,
           const float p00 = img[vi * w + ui], p01 = img[vi * w + ui + 1];
           const float p10 = img[(vi + 1) * w + ui];
           const float p11 = img[(vi + 1) * w + ui + 1];
-          const float wu0 = 1.0f - du;
-          const float h0 = bf16_round(wu0), l0 = bf16_round(wu0 - h0);
-          const float h1 = bf16_round(du), l1 = bf16_round(du - h1);
-          const float z_top = (h0 * p00 + h1 * p01) + (l0 * p00 + l1 * p01);
-          const float z_bot = (h0 * p10 + h1 * p11) + (l0 * p10 + l1 * p11);
+          const float z_top = (1.0f - du) * p00 + du * p01;
+          const float z_bot = (1.0f - du) * p10 + du * p11;
           const float t2 = (1.0f - dv) * z_top + dv * z_bot;
           val = static_cast<uint8_t>(
               std::min(static_cast<int>(t2 + 0.5f), 255));

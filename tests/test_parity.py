@@ -10,7 +10,7 @@ Stronger than the reference where our exact-integer semantics allow:
 import numpy as np
 import pytest
 
-import efficient_features_tpu  # noqa: F401  (enables x64)
+import efficient_features_tpu  # noqa: F401
 import jax.numpy as jnp
 
 from efficient_features_tpu.cpu import reference as R
@@ -172,6 +172,27 @@ def test_bad_parity_budget(img, nbits):
         jnp.asarray(angle), jnp.ones(len(x), bool), nbits=nbits))
     nz = (a != b).sum()
     budget = int(2e-5 * a.size) + 1  # reference budget (descriptor_test.cpp:43)
+    assert nz <= budget, f"{nz} differing bytes > budget {budget}"
+
+
+@pytest.mark.parametrize("nbits", [256, 512])
+def test_bad_parity_large_sizes(img, nbits):
+    """User keypoints with size >= 120 overflow int32 products in the border
+    compare; the contract switches to truncated-f32 operands there — both
+    backends must still agree within the reference budget."""
+    rng = np.random.default_rng(9)
+    n = 64
+    x = rng.uniform(0, img.shape[1], n).astype(np.float32)
+    y = rng.uniform(0, img.shape[0], n).astype(np.float32)
+    size = rng.uniform(120.0, 500.0, n).astype(np.float32)
+    angle = rng.uniform(-1.0, 360.0, n).astype(np.float32)
+    a = DC.bad_descriptors(img, x, y, size, angle, nbits=nbits)
+    integral = OI.integral_image_i32(jnp.asarray(img))
+    b = np.asarray(OB.bad_descriptors(
+        integral, jnp.asarray(x), jnp.asarray(y), jnp.asarray(size),
+        jnp.asarray(angle), jnp.ones(n, bool), nbits=nbits))
+    nz = (a != b).sum()
+    budget = int(2e-5 * a.size) + 1
     assert nz <= budget, f"{nz} differing bytes > budget {budget}"
 
 

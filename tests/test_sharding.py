@@ -94,3 +94,32 @@ def test_sp_rows_sharded_matches_dense():
     np.testing.assert_array_equal(ys[:n], eys)
     np.testing.assert_array_equal(xs[:n], exs)
     np.testing.assert_array_equal(resp[:n], er.astype(np.float32))
+
+
+def test_sp_rows_sharded_large_radius():
+    """nonmax_radius beyond the old fixed 24-row halo (ADVICE r1): the halo is
+    derived from the config, so radius 30 must still match the dense path."""
+    assert len(jax.devices()) >= 8
+    mesh = SH.make_mesh(8)
+    radius = 30
+    cfg = P.FeatureConfig(nfeatures=64, fast_threshold=20,
+                          nonmax_radius=radius)
+    img = make_test_image(8 * 48, 256, seed=78)
+
+    ys, xs, resp, valid = SH.detect_rows_sharded(
+        jnp.asarray(img), cfg, mesh, quota=64)
+    ys, xs, resp, valid = map(np.asarray, (ys, xs, resp, valid))
+
+    corner = R.fast_corner_mask(img, 20)
+    border = np.zeros_like(corner)
+    border[15:-15, 15:-15] = True
+    corner &= border
+    rmap = R.harris_response(img)
+    surv = R.radius_nms(rmap, corner, radius)
+    eys, exs, er = R.select_topk(rmap, surv, 64)
+
+    n = valid.sum()
+    assert n == len(eys)
+    np.testing.assert_array_equal(ys[:n], eys)
+    np.testing.assert_array_equal(xs[:n], exs)
+    np.testing.assert_array_equal(resp[:n], er.astype(np.float32))
