@@ -112,20 +112,13 @@ def warp_patches(image: jax.Array, x, y, size, angle,
     p01 = im[vic, uic + 1]
     p10 = im[vic + 1, uic]
     p11 = im[vic + 1, uic + 1]
-    # bf16 hi+lo horizontal weights — the window-kernel / oracle formulation
-    # (see cpu.descriptors.warp_patches), keeping this XLA fallback consistent
-    wu1 = du
-    wu0 = np.float32(1.0) - du
-
-    def bf16_split(wv):
-        hi = wv.astype(jnp.bfloat16).astype(jnp.float32)
-        lo = (wv - hi).astype(jnp.bfloat16).astype(jnp.float32)
-        return hi, lo
-
-    h0, l0 = bf16_split(wu0)
-    h1, l1 = bf16_split(wu1)
-    z_top = (h0 * p00 + h1 * p01) + (l0 * p00 + l1 * p01)
-    z_bot = (h0 * p10 + h1 * p11) + (l0 * p10 + l1 * p11)
+    # full-f32 bilinear weights (the window-kernel / oracle formulation,
+    # see cpu.descriptors.warp_patches); backend FMA contraction of these
+    # lerps shifts values by <= 1 ulp — budget-level, not exactness-level
+    h0 = np.float32(1.0) - du
+    h1 = du
+    z_top = h0 * p00 + h1 * p01
+    z_bot = h0 * p10 + h1 * p11
     t2 = (np.float32(1.0) - dv) * z_top + dv * z_bot
     val = jnp.minimum(jnp.trunc(t2 + np.float32(0.5)), np.float32(255.0))
     return jnp.where(valid, val, 0.0)
@@ -135,7 +128,7 @@ def patch_sift_responses(patches: jax.Array) -> jax.Array:
     """(N, 129) float32 SIFT response rows [1, d0..d127] from (N, 32, 32)
     patches, histogram built with ten MXU matmuls (see module docstring)."""
     n = patches.shape[0]
-    p = patches
+    p = patches.astype(jnp.float32)
     dx = p[:, 1:-1, 2:] - p[:, 1:-1, :-2]
     dy = p[:, :-2, 1:-1] - p[:, 2:, 1:-1]
     mag = jnp.sqrt(dx * dx + dy * dy).reshape(n, -1)          # (N, 900)

@@ -14,14 +14,14 @@ results land lane-major:
 For BAD the factors are box column/row range indicators ({0,1}) and the
 matmul runs on the int8 MXU path (2x the bf16 rate): pixels are re-biased to
 [-128, 127] and the exactly-known -128*area bias is added back, so box sums
-are exact int32; for the HashSIFT warp the column factor is the
-horizontal bilinear weight split into bf16 hi+lo (a 16-bit quantization the
-CPU oracle mirrors) and the row factor is the full-precision vertical weight
-on the VPU; for IC-angle both factors are integer masks.  All arithmetic is
-bit-identical to the oracle; residual differences come only from backend
-cos/sin/atan2 ULPs in the per-keypoint affine (the same class the reference's
-own CPU-vs-GPU tests budget at 2e-5/1e-4 nonzero bytes — observed ~1 byte per
-30k at random angles).
+are exact int32; for the HashSIFT warp the MXU factors are exact one-hot
+column selectors (left/right bilinear pixels) and ALL lerp weights apply on
+the VPU in full f32 — the reference's own float arithmetic; for IC-angle
+both factors are integer masks.  All arithmetic is bit-identical to the
+oracle up to IEEE rounding order; residual differences come from backend
+cos/sin/atan2 ULPs in the per-keypoint affine and FMA contraction of the
+f32 lerps (the same class the reference's own CPU-vs-GPU tests budget at
+2e-5/1e-4 nonzero bytes).
 
 Alignment rules honored: window row starts 8-aligned, column starts
 128-aligned (Mosaic DMA slices); output blocks are (KPB, D) with D equal to
@@ -233,17 +233,25 @@ def _bad_kernel(by_ref, bx_ref, meta_ref, nstart_ref,
     jax.lax.fori_loop(0, _BAD_KPB, body, 0)
 
 
-def _window_groups(by, bx, kpb):
+def _window_key(by, bx, pad_w):
+    """Collision-free sort/group key for (row, col) window origins: bx is a
+    multiple of 128, so index the 128-wide column slots — works for any image
+    width (no 2^15 packing limit)."""
+    nbx = jnp.int32(pad_w // 128)
+    return by.astype(jnp.int32) * nbx + bx.astype(jnp.int32) // 128
+
+
+def _window_groups(key, kpb):
     """Per-keypoint window-group bookkeeping for window-sorted keypoints.
 
-    Returns (grp, is_start, next_start): `grp` is the 0-based group id (its
+    `key` is the _window_key of each (padded, sorted) keypoint.  Returns
+    (grp, is_start, next_start): `grp` is the 0-based group id (its
     parity selects the DMA buffer slot), `is_start` marks group and program
     starts (where the kernel waits for the window DMA), `next_start` is the
     index of the following start (prefetch target; past-the-end when none).
     Must be called on the final padded arrays so every DMA start has a
     matching wait."""
-    n = by.shape[0]
-    key = by.astype(jnp.int32) * jnp.int32(1 << 15) + bx.astype(jnp.int32)
+    n = key.shape[0]
     changed = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), (key[1:] != key[:-1]).astype(jnp.int32)])
     grp = jnp.cumsum(changed).astype(jnp.int32)
@@ -284,13 +292,12 @@ def _bad_descriptors_windows_impl(image, x, y, size, angle, valid,
     base_y, base_x, pad_h, pad_w = plan_windows(x, y, h, w)
     padded = pad_image(image, pad_h, pad_w)
 
-    order = jnp.argsort(base_y.astype(jnp.int32) * jnp.int32(1 << 15)
-                        + base_x.astype(jnp.int32))
+    order = jnp.argsort(_window_key(base_y, base_x, pad_w))
     srt = [jnp.take(a, order) for a in (base_y, base_x, x, y, size, angle)]
     (by, bx, kx, ky, ks, ka), n_pad, n = _pad_n(srt, _BAD_KPB)
     # group bookkeeping on the PADDED arrays so every started DMA is awaited
     # (the zero-padded tail forms its own final group)
-    grp, start, nstart = _window_groups(by, bx, _BAD_KPB)
+    grp, start, nstart = _window_groups(_window_key(by, bx, pad_w), _BAD_KPB)
     meta = ((grp & 1) | (start << 1)).astype(jnp.int32)
     kp = jnp.stack([kx, ky, ks, ka], axis=1)
 
@@ -315,7 +322,7 @@ def _bad_descriptors_windows_impl(image, x, y, size, angle, valid,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, nbits), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((_BAD_KPB, nbits // 8),
                                    lambda i, *_: (i, 0),
@@ -416,12 +423,11 @@ def _ic_angles_windows_impl(image, ys, xs, valid):
     base_x = jnp.clip(((xs.astype(jnp.int32) - 96) // 128) * 128,
                       0, pad_w - WIN_W)
     padded = pad_image(image, pad_h, pad_w)
-    order = jnp.argsort(base_y.astype(jnp.int32) * jnp.int32(1 << 15)
-                        + base_x.astype(jnp.int32))
+    order = jnp.argsort(_window_key(base_y, base_x, pad_w))
     srt = [jnp.take(a, order) for a in
            (base_y, base_x, ys.astype(jnp.int32), xs.astype(jnp.int32))]
     (by, bx, kyi, kxi), n_pad, n = _pad_n(srt, _IC_KPB)
-    grp, start, nstart = _window_groups(by, bx, _IC_KPB)
+    grp, start, nstart = _window_groups(_window_key(by, bx, pad_w), _IC_KPB)
     meta = ((grp & 1) | (start << 1)).astype(jnp.int32)
     kp = jnp.stack([kyi, kxi], axis=1)
     umax = np.zeros((32, 8), np.int32)
@@ -437,7 +443,7 @@ def _ic_angles_windows_impl(image, ys, xs, valid):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((32, 8), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((_IC_KPB, 2), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
@@ -467,24 +473,46 @@ def _ic_angles_windows_impl(image, ys, xs, valid):
 # ---------------------------------------------------------------------------
 
 _WARP_KPB = 8
+# Warp-private window plan: patch samples stay within +-24 px of the keypoint
+# (|u - kx| <= 16*sqrt(2)*s + 1 with s <= 0.945 from max_window_size), so a
+# 56-row window with the keypoint row at offset [24, 32) covers every
+# in-image bilinear support row — 30% less DMA than the shared 80-row plan.
+_WARP_WIN_H = 56
+# Columns are compacted to the 64 window columns [off, off+64) around the
+# keypoint by a one-hot matmul (win @ P) instead of the former two
+# per-keypoint pltpu.rolls; off is clamped so border keypoints' in-image
+# support stays inside the slab (out-of-image samples are masked anyway).
+_WARP_CW = 64
 
 
 def _warp_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref,
-                 img_hbm, out_ref, win_ref, sem, *,
+                 img_hbm, out_ref, win_ref, winbf_ref, sem, *,
                  cropping_scale, img_w, img_h):
+    """Patch warp, two keypoints per MXU pass.
+
+    Keypoints are processed in PAIRS sharing (128,128)@(128,1024) matmuls:
+    the pair's compacted 64-column windows sit in the two diagonal blocks of
+    the LHS and their one-hot selectors stack along k, so the full 128-deep
+    MXU contraction is used (a single keypoint only fills 64x64 of a tile).
+    The window is cast to bf16 once per DMA (winbf scratch), not per
+    keypoint."""
     i = pl.program_id(0)
     npx = 32 * 32
 
     def get_dma(slot, idx):
         return pltpu.make_async_copy(
-            img_hbm.at[pl.ds(pl.multiple_of(by_ref[idx], 8), WIN_H),
+            img_hbm.at[pl.ds(pl.multiple_of(by_ref[idx], 8), _WARP_WIN_H),
                        pl.ds(pl.multiple_of(bx_ref[idx], 128), WIN_W)],
             win_ref.at[slot], sem.at[slot])
 
     first = i * _WARP_KPB
     get_dma(meta_ref[first] & 1, first).start()   # grouped window prefetch
 
-    def body(k, carry):
+    def half(pair, j):
+        """DMA bookkeeping + compacted 64-col window for keypoint j of the
+        pair; returns (padded (64,64) bf16 window block, u_loc, v_loc,
+        valid_px) — everything the shared pair matmul needs."""
+        k = 2 * pair + j
         idx = i * _WARP_KPB + k
         meta = meta_ref[idx]
         slot = meta & 1
@@ -498,6 +526,9 @@ def _warp_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref,
                 get_dma(1 - slot, nxt).start()
 
             get_dma(slot, idx).wait()
+            # cast once per window DMA (shared by all its keypoints)
+            winbf_ref[slot] = win_ref[slot].astype(
+                jnp.int32).astype(jnp.bfloat16)
 
         _, cost, sint, m02, m12 = _affine_scalars(
             kp_ref[k, 0], kp_ref[k, 1], kp_ref[k, 2], kp_ref[k, 3],
@@ -511,76 +542,107 @@ def _warp_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref,
 
         ui = jnp.floor(u).astype(jnp.int32)
         vi = jnp.floor(v).astype(jnp.int32)
-        du = u - ui.astype(jnp.float32)
-        dv = v - vi.astype(jnp.float32)
         valid_px = ((ui >= 0) & (ui + 1 < img_w) &
                     (vi >= 0) & (vi + 1 < img_h))
 
-        # window compaction: all patch samples lie within +-29 of the keypoint
-        # pixel, so rotate the keypoint to (row 32, col 64) and keep a 64x128
-        # sub-window — quarters the factor matrices and the MXU work.  Wrapped
-        # rows/columns are only ever addressed by out-of-image samples, which
-        # valid_px masks.
+        # column compaction by one-hot matmul: select window columns
+        # [off, off+64).  P is exact {0,1} with one nonzero per output
+        # column, so win_c holds exact pixel integers.
         xi_loc = jnp.floor(kp_ref[k, 0]).astype(jnp.int32) - bx_ref[idx]
-        yi_loc = jnp.floor(kp_ref[k, 1]).astype(jnp.int32) - by_ref[idx]
-        shift_x = xi_loc - 64
-        shift_y = yi_loc - 32
-        cw = 128
-        ch = 64
+        off = jnp.clip(xi_loc - 32, 0, WIN_W - _WARP_CW)
+        csel = jax.lax.broadcasted_iota(jnp.int32, (WIN_W, _WARP_CW), 0)
+        jsel = jax.lax.broadcasted_iota(jnp.int32, (WIN_W, _WARP_CW), 1)
+        Pm = (csel == jsel + off).astype(jnp.bfloat16)
+        win_c = jnp.dot(winbf_ref[slot], Pm,
+                        preferred_element_type=jnp.float32)
+        blk = jnp.concatenate(
+            [win_c, jnp.zeros((64 - _WARP_WIN_H, _WARP_CW), jnp.float32)],
+            axis=0).astype(jnp.bfloat16)                  # (64, 64)
 
-        # bilinear one-hot pairs as hat functions: relu(1 - |c - u|) equals
-        # (1-du) at floor(u) and du at floor(u)+1 EXACTLY (local-scale f32
-        # fractions are representable), replacing compare+select chains with
-        # two arithmetic ops per factor matrix
-        u_loc = (u - bx_ref[idx].astype(jnp.float32)
-                 - shift_x.astype(jnp.float32))           # (1, npx), compacted
-        v_loc = (v - by_ref[idx].astype(jnp.float32)
-                 - shift_y.astype(jnp.float32))
+        u_loc = u - (bx_ref[idx] + off).astype(jnp.float32)   # (1, npx)
+        v_loc = v - by_ref[idx].astype(jnp.float32)
+        return blk, u_loc, v_loc, valid_px
 
-        cols_f = jax.lax.broadcasted_iota(
-            jnp.int32, (cw, npx), 0).astype(jnp.float32)
-        X = jnp.maximum(np.float32(1.0) - jnp.abs(cols_f - u_loc),
-                        np.float32(0.0))
-        Xhi = X.astype(jnp.bfloat16)
-        Xlo = (X - Xhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    def body(pair):
+        blk0, u0, v0, vp0 = half(pair, 0)
+        blk1, u1, v1, vp1 = half(pair, 1)
 
-        win_full = win_ref[slot].astype(jnp.int32)
-        win_rot = pltpu.roll(win_full, (WIN_W - shift_x) % WIN_W, 1)
-        win_rot = pltpu.roll(win_rot, (WIN_H - shift_y) % WIN_H, 0)
-        win = jax.lax.slice(win_rot, (0, 0), (ch, cw)).astype(jnp.bfloat16)
-        z = (jnp.dot(win, Xhi, preferred_element_type=jnp.float32)
-             + jnp.dot(win, Xlo, preferred_element_type=jnp.float32))
+        # block-diagonal LHS: [[blk0, 0], [0, blk1]] — one full (128,128)
+        # tile; the zero blocks make each keypoint's rows see only its own
+        # hat factors, so products stay exact
+        z64 = jnp.zeros((64, _WARP_CW), jnp.bfloat16)
+        lhs = jnp.concatenate(
+            [jnp.concatenate([blk0, z64], axis=1),
+             jnp.concatenate([z64, blk1], axis=1)], axis=0)   # (128, 128)
 
-        # vertical factor on the VPU at full f32 precision
-        rows_f = jax.lax.broadcasted_iota(
-            jnp.int32, (ch, npx), 0).astype(jnp.float32)
-        Y = jnp.maximum(np.float32(1.0) - jnp.abs(rows_f - v_loc),
-                        np.float32(0.0))
-        t2 = (Y * z).sum(axis=0, keepdims=True)           # (1, npx)
+        # the MXU does only EXACT one-hot gathers: Xl selects the left
+        # bilinear pixel column (c == floor(u)), Xr the right — {0,1}
+        # factors x exact <=255 pixels, one nonzero per column, so z_l/z_r
+        # are exact pixel integers.  ALL bilinear weighting then happens on
+        # the VPU in full f32, matching the reference's float lerp (no bf16
+        # weight quantization anywhere).
+        ksel = jax.lax.broadcasted_iota(jnp.int32, (2 * _WARP_CW, npx), 0)
+        hi = (ksel >= _WARP_CW)
+        cc = jnp.where(hi, ksel - _WARP_CW, ksel).astype(jnp.float32)
+        uu = jnp.where(hi, u1, u0)
+        ufl = jnp.floor(uu)
+        Xl = (cc == ufl).astype(jnp.bfloat16)                 # (128, npx)
+        Xr = (cc == ufl + np.float32(1.0)).astype(jnp.bfloat16)
+        z_l = jnp.dot(lhs, Xl, preferred_element_type=jnp.float32)
+        z_r = jnp.dot(lhs, Xr, preferred_element_type=jnp.float32)
 
-        val = jnp.minimum(jnp.trunc(t2 + np.float32(0.5)), np.float32(255.0))
-        out_ref[pl.ds(k, 1), :] = jnp.where(valid_px, val, 0.0)
-        return carry
+        # horizontal lerp on the VPU: du broadcast over rows (row blocks
+        # [0:64) / [64:128) belong to kp0 / kp1); all weights full f32
+        rsel = jax.lax.broadcasted_iota(jnp.int32, (128, npx), 0)
+        rhi = (rsel >= 64)
+        du = jnp.where(rhi, u1 - jnp.floor(u1), u0 - jnp.floor(u0))
+        s = (np.float32(1.0) - du) * z_l + du * z_r           # (128, npx)
 
-    jax.lax.fori_loop(0, _WARP_KPB, body, 0)
+        # vertical factors on the VPU at full f32 precision, both keypoints
+        # in one (128, npx) hat build
+        rr = jnp.where(rhi, rsel - 64, rsel).astype(jnp.float32)
+        vv = jnp.where(rhi, v1, v0)
+        Y = jnp.maximum(np.float32(1.0) - jnp.abs(rr - vv), np.float32(0.0))
+        prod = Y * s
+        t0 = prod[0:64].sum(axis=0, keepdims=True)            # (1, npx)
+        t1 = prod[64:128].sum(axis=0, keepdims=True)
+
+        val0 = jnp.minimum(jnp.trunc(t0 + np.float32(0.5)), np.float32(255.0))
+        val1 = jnp.minimum(jnp.trunc(t1 + np.float32(0.5)), np.float32(255.0))
+        # u8 output (patches are u8-valued): the f32 version was OUTPUT-HBM
+        # bound — 33 MB of patch writes per 8k keypoints measured 202 ms vs
+        # 61 ms with u8 on the dev chip.  Static store offsets (unrolled pair
+        # loop) keep the stores cheap.
+        out_ref[2 * pair:2 * pair + 1, :] = jnp.where(
+            vp0, val0, 0.0).astype(jnp.int32).astype(jnp.uint8)
+        out_ref[2 * pair + 1:2 * pair + 2, :] = jnp.where(
+            vp1, val1, 0.0).astype(jnp.int32).astype(jnp.uint8)
+
+    for pair in range(_WARP_KPB // 2):
+        body(pair)
 
 
 @functools.partial(jax.jit, static_argnums=(6,))
 def _warp_patches_windows_impl(image, x, y, size, angle, valid,
                                cropping_scale: float):
-    """(N, 1024) f32 u8-valued warped patches via the window kernel.
+    """(N, 1024) uint8 warped patches via the window kernel.
 
-    Horizontal bilinear weights are bf16 hi+lo quantized (16-bit significand);
-    the oracle mirrors this, so patches match across backends up to one final
-    IEEE rounding in the vertical lerp."""
+    The MXU only gathers (exact one-hot factors); bilinear weights apply on
+    the VPU in full f32, so patches match the oracle's reference-exact float
+    lerp up to IEEE rounding order."""
     h, w = image.shape
-    base_y, base_x, pad_h, pad_w = plan_windows(x, y, h, w)
+    # warp-private 56-row plan: keypoint row lands at offset [24, 32)
+    pad_h = max(-(-h // 8) * 8, _WARP_WIN_H)
+    pad_w = max(-(-w // 128) * 128, WIN_W)
+    yi = jnp.floor(y).astype(jnp.int32)
+    xi = jnp.floor(x).astype(jnp.int32)
+    base_y = jnp.clip(((yi - 24) // 8) * 8, 0, pad_h - _WARP_WIN_H)
+    base_x = jnp.clip(((xi - 96) // 128) * 128, 0, pad_w - WIN_W)
     padded = pad_image(image, pad_h, pad_w)
-    order = jnp.argsort(base_y.astype(jnp.int32) * jnp.int32(1 << 15)
-                        + base_x.astype(jnp.int32))
+    order = jnp.argsort(_window_key(base_y, base_x, pad_w))
     srt = [jnp.take(a, order) for a in (base_y, base_x, x, y, size, angle)]
     (by, bx, kx, ky, ks, ka), n_pad, n = _pad_n(srt, _WARP_KPB)
-    grp, start, nstart = _window_groups(by, bx, _WARP_KPB)
+    grp, start, nstart = _window_groups(_window_key(by, bx, pad_w), _WARP_KPB)
     meta = ((grp & 1) | (start << 1)).astype(jnp.int32)
     kp = jnp.stack([kx, ky, ks, ka], axis=1)
 
@@ -594,23 +656,24 @@ def _warp_patches_windows_impl(image, x, y, size, angle, valid,
             in_specs=[
                 pl.BlockSpec((_WARP_KPB, 4), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((_WARP_KPB, 1024), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, WIN_H, WIN_W), jnp.uint8),
+                pltpu.VMEM((2, _WARP_WIN_H, WIN_W), jnp.uint8),
+                pltpu.VMEM((2, _WARP_WIN_H, WIN_W), jnp.bfloat16),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, 1024), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1024), jnp.uint8),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(by, bx, meta, nstart, kp, padded)
     inv = jnp.zeros_like(order).at[order].set(
         jnp.arange(order.shape[0], dtype=order.dtype))
-    return jnp.where(valid[:, None], jnp.take(out[:n], inv, axis=0), 0.0)
+    return jnp.where(valid[:, None], jnp.take(out[:n], inv, axis=0), 0)
 
 
 bad_descriptors_windows = _chunked(_bad_descriptors_windows_impl, 5)

@@ -157,20 +157,13 @@ def reflect101_index(idx: np.ndarray, n: int) -> np.ndarray:
 def bf16_round(x: np.ndarray) -> np.ndarray:
     """Round float32 to bfloat16 precision (round-half-even), kept as f32.
 
-    Used to mirror the TPU kernels' bf16 hi+lo weight splits in the oracle.
+    Retained as a documented utility (the warp contract moved to full-f32
+    weights with one-hot MXU gathers; nothing quantizes to bf16 anymore).
     """
     x = np.asarray(x, np.float32)
     i = x.view(np.uint32)
     rounded = ((i.astype(np.uint64) + 0x7FFF + ((i >> 16) & 1)) >> 16) << 16
     return rounded.astype(np.uint32).view(np.float32)
-
-
-def bf16_hi_lo(x: np.ndarray) -> np.ndarray:
-    """bf16(x) + bf16(x - bf16(x)) as f32 — the effective 16-bit-significand
-    value the TPU warp kernel uses for its vertical bilinear weights."""
-    hi = bf16_round(x)
-    lo = bf16_round(np.asarray(x, np.float32) - hi)
-    return (hi + lo).astype(np.float32)
 
 
 def disc_offsets(radius: int) -> list[tuple[int, int]]:
