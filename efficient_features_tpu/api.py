@@ -37,9 +37,18 @@ class KeyPoints:
     (cuda_efficient_features.h:32-37) plus octave/size.
     """
 
-    def __init__(self, slots: dict):
+    def __init__(self, slots: dict, max_size: float | None = None):
         self._slots = slots
         self._host = None
+        # static upper bound on kp.size, known at trace time for detector
+        # output (31 * scale_factor**(nlevels-1)); lets compute() pick the
+        # window-kernel path without a device->host size reduction
+        self._max_size = max_size
+
+    @property
+    def max_size(self) -> float | None:
+        """Static keypoint-size bound (None when unknown, e.g. user slots)."""
+        return self._max_size
 
     def block(self) -> "KeyPoints":
         jax.block_until_ready(self._slots)
@@ -114,10 +123,35 @@ class _DescriptorBase:
     _nbits: int
 
     def compute(self, image, keypoints) -> np.ndarray:
-        return np.asarray(self.compute_async(image, keypoints))
+        out = self.compute_async(image, keypoints)
+        if isinstance(keypoints, KeyPoints):
+            # compact slot-aligned rows to the valid keypoints
+            return np.asarray(out)[np.asarray(keypoints._slots["valid"])]
+        return np.asarray(out)
 
     def compute_async(self, image, keypoints) -> jax.Array:
+        """Descriptors for `keypoints` on `image`.
+
+        `KeyPoints` input stays DEVICE-RESIDENT end to end (the reference's
+        device 5-row-mat path, cuda_efficient_features.cpp:102-129): the slot
+        arrays feed the descriptor jit directly — zero host transfers in a
+        detect_async -> compute_async chain — and the result rows align with
+        the keypoint SLOTS (invalid slots give zero rows; compact with the
+        valid mask, as compute() does).  Host inputs ((N,4) arrays / cv2
+        keypoint lists) return compacted (N, bytes) rows as before."""
+        from .ops.window_kernels import max_window_size
         img = _as_u8_image(image)
+        if isinstance(keypoints, KeyPoints):
+            s = keypoints._slots
+            kp_dev = jnp.stack(
+                [s["x"], s["y"], s["size"], s["angle"]], axis=1
+            ).astype(jnp.float32)
+            # static bound decides the kernel path — no device max() stall;
+            # unknown bound falls back to the always-correct gather path
+            ms = keypoints.max_size
+            windows_ok = ms is not None and ms <= max_window_size(self._scale)
+            return P.compute_jit(img, kp_dev, s["valid"], self._nbits,
+                                 self._kind, self._scale, windows_ok)
         kp = _keypoints_to_xysa(keypoints)
         n = kp.shape[0]
         if n == 0:
@@ -128,7 +162,6 @@ class _DescriptorBase:
         valid = np.zeros(cap, bool)
         valid[:n] = True
         # window kernels need the descriptor support to fit the 31px margin
-        from .ops.window_kernels import max_window_size
         windows_ok = bool(kp[:, 2].max() <= max_window_size(self._scale))
         out = P.compute_jit(img, jnp.asarray(padded), jnp.asarray(valid),
                             self._nbits, self._kind, self._scale, windows_ok)
@@ -208,8 +241,15 @@ class EfficientFeatures:
         img = _as_u8_image(image)
         if mask is not None:
             mask = self._as_mask(mask, img.shape)
-            return KeyPoints(P.detect_masked_jit(img, mask, self._cfg))
-        return KeyPoints(P.detect_jit(img, self._cfg))
+            return KeyPoints(P.detect_masked_jit(img, mask, self._cfg),
+                             max_size=self._max_kp_size())
+        return KeyPoints(P.detect_jit(img, self._cfg),
+                         max_size=self._max_kp_size())
+
+    def _max_kp_size(self) -> float:
+        """Trace-time bound on detector keypoint sizes (top pyramid level)."""
+        return float(S.PATCH_SIZE
+                     * self._cfg.scale_factor ** (self._cfg.nlevels - 1))
 
     def compute(self, image, keypoints) -> np.ndarray:
         return self._describer().compute(image, keypoints)
@@ -230,7 +270,7 @@ class EfficientFeatures:
             slots, descs = P.detect_and_compute_masked_jit(img, mask, self._cfg)
         else:
             slots, descs = P.detect_and_compute_jit(img, self._cfg)
-        return KeyPoints(slots), descs
+        return KeyPoints(slots, max_size=self._max_kp_size()), descs
 
     def convert(self, keypoints: KeyPoints):
         """KeyPoints -> list of cv2.KeyPoint (reference `convert`,

@@ -2,6 +2,8 @@
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 from efficient_features_tpu import EfficientFeatures, BAD, HashSIFT, KeyPoints
 from efficient_features_tpu.cpu import reference as R
 from efficient_features_tpu.cpu import descriptors as DC
@@ -131,3 +133,42 @@ def test_tiny_image():
     kps, desc = feat.detect_and_compute(tiny)
     oracle = R.detect(tiny, nfeatures=100)
     assert len(kps) == oracle.count
+
+
+def test_device_resident_compute_chain(img):
+    """detect_async -> compute_async with KeyPoints input runs with ZERO
+    host<->device transfers (the reference's device 5-row-mat path,
+    cuda_efficient_features.cpp:102-129) and matches the host-input path."""
+    import jax
+    import numpy as np
+    from efficient_features_tpu import BAD
+
+    feat = EfficientFeatures(nfeatures=400)
+    bad = BAD(1.0, 256)
+    jimg = jnp.asarray(img)
+    kps = feat.detect_async(jimg)
+    # warm both jits (first call moves trace constants to device)
+    _ = bad.compute_async(jimg, kps)
+    kps2 = feat.detect_async(jimg)
+    with jax.transfer_guard("disallow"):
+        kps3 = feat.detect_async(jimg)
+        out = bad.compute_async(jimg, kps3)
+    dev = np.asarray(out)[np.asarray(kps2._slots["valid"])]
+    host = bad.compute(img, kps2.xysa())
+    np.testing.assert_array_equal(dev, host)
+
+
+def test_device_resident_compute_rows_align_with_slots(img):
+    """KeyPoints-input compute_async rows align with slots; invalid slots
+    give zero rows."""
+    import numpy as np
+    from efficient_features_tpu import HashSIFT
+
+    feat = EfficientFeatures(nfeatures=200)
+    hs = HashSIFT(1.0, 256)
+    kps = feat.detect(img)
+    out = np.asarray(hs.compute_async(jnp.asarray(img), kps))
+    valid = np.asarray(kps._slots["valid"])
+    assert out.shape[0] == kps.capacity
+    assert (out[~valid] == 0).all()
+    np.testing.assert_array_equal(out[valid], hs.compute(img, kps))
