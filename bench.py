@@ -104,10 +104,30 @@ def main():
         detail[f"compute40k_{kind}{bits}_ms"] = round(ms, 2)
         detail[f"compute40k_{kind}{bits}_vs_rtx3060ti"] = round(base / ms, 4)
 
-    # headline: detectAndCompute, 40k keypoints, 4K, BAD-256 (README.md:66-70)
-    dac_cfg = P.FeatureConfig(nfeatures=40000, descriptor_type="bad_256")
-    ms = perf_ms(lambda: P.detect_and_compute_jit(img4k, dac_cfg), 3)
-    detail["detect_and_compute_4k_40k_bad256_ms"] = round(ms, 2)
+    # detectAndCompute, 40k keypoints, 4K, all four descriptors
+    # (README.md:66-71); BAD-256 is the headline metric
+    baselines_dac = {"bad_256": 7.2, "bad_512": 8.2,
+                     "hash_sift_256": 8.5, "hash_sift_512": 8.9}
+    for dt, base in baselines_dac.items():
+        dac_cfg = P.FeatureConfig(nfeatures=40000, descriptor_type=dt)
+        dac_ms = perf_ms(
+            lambda dac_cfg=dac_cfg: P.detect_and_compute_jit(img4k, dac_cfg),
+            3 if dt == "bad_256" else 1)
+        detail[f"detect_and_compute_4k_40k_{dt}_ms"] = round(dac_ms, 2)
+        detail[f"detect_and_compute_4k_40k_{dt}_vs_rtx3060ti"] = round(
+            base / dac_ms, 4)
+        if dt == "bad_256":
+            ms = dac_ms
+
+    # steady-state streaming frame time (donated buffers; the reference's
+    # DeviceBuffer reuse analogue) on FHD detect+compute+match
+    from samples.sample_image_sequence import streaming_step_fn
+    step, state = streaming_step_fn(P.FeatureConfig(
+        nfeatures=4000, descriptor_type="bad_256"), sizes["fhd"])
+    frame = images["fhd"]
+    sms = perf_ms(lambda: step(frame), 5)
+    detail["streaming_fhd_frame_ms"] = round(sms, 2)
+
     baseline_ms = 7.2
     vs = baseline_ms / ms
 
