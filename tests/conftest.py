@@ -1,4 +1,12 @@
-"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+"""Test configuration: virtual 8-device CPU mesh, or real-TPU tier.
+
+Default run: force JAX onto a virtual 8-device CPU mesh and run everything
+EXCEPT tests marked `tpu` (Pallas kernels execute in interpreter mode).
+
+`EFF_TPU_TESTS=1 python -m pytest tests/ -m tpu` runs the compiled-kernel
+parity tier on the real TPU backend (and only that tier) — the repeatable
+check that the production compiled kernels, not just their interpreted
+semantics, match the oracle.
 
 NOTE: the env var JAX_PLATFORMS alone is NOT enough in this environment — the
 axon TPU plugin overrides it; jax.config.update('jax_platforms', ...) before
@@ -7,16 +15,43 @@ initialization for the virtual device count.
 """
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+import pytest
+
+RUN_TPU = os.environ.get("EFF_TPU_TESTS") == "1"
+
+if not RUN_TPU:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not RUN_TPU:
+    jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the suite is dominated by XLA-CPU compiles of the
 # many pipeline signatures; repeat runs drop from ~12 min to ~2 min
 jax.config.update("jax_compilation_cache_dir", "/tmp/eff_tpu_xla_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: compiled-kernel parity tier; needs a real TPU "
+        "(run with EFF_TPU_TESTS=1)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if RUN_TPU:
+        skip = pytest.mark.skip(
+            reason="EFF_TPU_TESTS=1 runs only the -m tpu tier")
+        for item in items:
+            if "tpu" not in item.keywords:
+                item.add_marker(skip)
+    else:
+        skip = pytest.mark.skip(
+            reason="compiled-kernel tier needs a real TPU (EFF_TPU_TESTS=1)")
+        for item in items:
+            if "tpu" in item.keywords:
+                item.add_marker(skip)

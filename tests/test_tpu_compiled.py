@@ -1,0 +1,67 @@
+"""Compiled-kernel parity tier (pytest -m tpu, EFF_TPU_TESTS=1, real chip).
+
+Round 1 only verified the Pallas kernels against the oracle in interpreter
+mode; "bit-identical compiled" lived in comments.  This module makes it a
+repeatable check: it re-collects the interpreter-mode kernel tests from
+test_kernels.py (on the TPU backend they execute COMPILED — the production
+path) and adds compiled checks the interpreter tier cannot cover: the tiled
+MXU resize and the full single-jit detect pipeline on a real image.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from PIL import Image
+
+from efficient_features_tpu.cpu import reference as R
+from efficient_features_tpu.ops import image as OI
+from efficient_features_tpu import pipeline as P
+
+# re-collect every interpreter-tier kernel test; on the TPU backend the
+# kernels compile (window_kernels/pallas_kernels._interpret() is False)
+from test_kernels import (  # noqa: F401
+    img,
+    test_fast_harris_kernel_bit_exact,
+    test_nms_kernel_bit_exact,
+    test_bad_window_kernel_exact,
+    test_bad_window_kernel_pixel_extremes,
+    test_warp_window_kernel_exact,
+    test_ic_window_kernel_exact,
+    test_bad_window_kernel_100k_chunked,
+)
+
+pytestmark = pytest.mark.tpu
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def test_backend_is_tpu():
+    assert jax.default_backend() == "tpu"
+
+
+def test_resize_pallas_compiled_bit_exact():
+    photo = np.asarray(Image.open(os.path.join(DATA, "real_photo.png")))
+    for hw in [(500, 427), (208, 160)]:
+        a = np.asarray(jax.jit(
+            lambda x, hw=hw: OI.resize_u8(x, hw))(jnp.asarray(photo)))
+        b = np.asarray(jax.jit(
+            lambda x, hw=hw: OI.resize_u8_pallas(x, hw))(jnp.asarray(photo)))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_detect_pipeline_compiled_bit_exact_real_image():
+    photo = np.asarray(Image.open(os.path.join(DATA, "real_photo.png")))
+    cfg = P.FeatureConfig(nfeatures=2000)
+    slots = {k: np.asarray(v)
+             for k, v in P.detect_jit(jnp.asarray(photo), cfg).items()}
+    oracle = R.detect(photo, nfeatures=2000)
+    m = slots["valid"]
+    assert int(slots["count"]) == oracle.count
+    np.testing.assert_array_equal(slots["x"][m], oracle.x)
+    np.testing.assert_array_equal(slots["y"][m], oracle.y)
+    np.testing.assert_array_equal(slots["response"][m], oracle.response)
+    d = np.abs(slots["angle"][m] - oracle.angle)
+    assert np.minimum(d, 360 - d).max() < 1e-3

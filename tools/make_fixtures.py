@@ -1,0 +1,68 @@
+"""Generate the real-image test fixtures in tests/data/ (run once, committed).
+
+The reference's parity tests run on 11 real SceauxCastle photos
+(/root/reference/tests/descriptor_test.cpp:16-25, a git submodule we cannot
+fetch in this offline environment).  As license-clean stand-ins with real
+photographic / real-sensor statistics we use data bundled with matplotlib:
+
+  - grace_hopper.jpg  — photograph of RADM Grace Hopper, U.S. Navy photo
+    (public domain; matplotlib sample_data)
+  - jacksboro_fault_dem.npz — real USGS digital elevation model
+  - s1045.ima.gz — real MRI slice (matplotlib sample_data)
+
+`real_photo.png` is the grayscale photo; `real_montage.png` tiles
+contrast-varied crops of all three sources into a 1024x1280 canvas so the
+detector can produce tens of thousands of keypoints (the reference tests cap
+at 100k) with realistic local statistics throughout.
+"""
+import gzip
+import os
+
+import numpy as np
+from PIL import Image
+
+SAMPLE = "/opt/venv/lib/python3.12/site-packages/matplotlib/mpl-data/sample_data"
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "data")
+
+
+def to_u8(a):
+    a = np.asarray(a, np.float64)
+    a = a - a.min()
+    a *= 255.0 / max(a.max(), 1e-9)
+    return a.astype(np.uint8)
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+
+    photo = np.asarray(
+        Image.open(os.path.join(SAMPLE, "grace_hopper.jpg")).convert("L"))
+    Image.fromarray(photo).save(os.path.join(OUT, "real_photo.png"))
+
+    dem = to_u8(np.load(os.path.join(SAMPLE, "jacksboro_fault_dem.npz"))
+                ["elevation"])
+    with gzip.open(os.path.join(SAMPLE, "s1045.ima.gz")) as f:
+        mri = to_u8(np.frombuffer(f.read(), np.uint16).reshape(256, 256))
+
+    rng = np.random.default_rng(0)
+    canvas = np.zeros((1024, 1280), np.uint8)
+    tiles = [photo, dem, mri]
+    th, tw = 256, 256
+    for r in range(0, 1024, th):
+        for c in range(0, 1280, tw):
+            src = tiles[rng.integers(len(tiles))]
+            y0 = int(rng.integers(0, max(src.shape[0] - th, 1)))
+            x0 = int(rng.integers(0, max(src.shape[1] - tw, 1)))
+            crop = src[y0:y0 + th, x0:x0 + tw]
+            crop = np.pad(crop, ((0, th - crop.shape[0]),
+                                 (0, tw - crop.shape[1])), mode="edge")
+            gain = rng.uniform(0.5, 1.0)
+            off = rng.uniform(0, 60)
+            canvas[r:r + th, c:c + tw] = np.clip(
+                crop * gain + off, 0, 255).astype(np.uint8)
+    Image.fromarray(canvas).save(os.path.join(OUT, "real_montage.png"))
+    print("wrote", os.listdir(OUT))
+
+
+if __name__ == "__main__":
+    main()
