@@ -200,21 +200,28 @@ class BAD(_DescriptorBase):
 class HashSIFT(_DescriptorBase):
     """HashSIFT descriptor (cuda_efficient_descriptors.h:101-121).
 
-    cropping_scale: patch diameter = cropping_scale * kp.size."""
+    cropping_scale: patch diameter = cropping_scale * kp.size.
+    sigma: accepted for API parity with the CPU reference
+    (efficient_descriptors.h:89) but a documented no-op — the GPU reference
+    ignores it too (the Gaussian pre-blur call is commented out,
+    cuda_hash_sift.cu:392)."""
 
     SIZE_512_BITS = 512
     SIZE_256_BITS = 256
     _kind = "hash_sift"
 
-    def __init__(self, cropping_scale: float = 1.0, nbits: int = 256):
+    def __init__(self, cropping_scale: float = 1.0, nbits: int = 256,
+                 sigma: float = 0.0):
         if nbits not in (256, 512):
             raise ValueError("HashSIFT supports 256 or 512 bits")
         self._scale = float(cropping_scale)
         self._nbits = nbits
+        self._sigma = float(sigma)
 
     @staticmethod
-    def create(cropping_scale: float = 1.0, nbits: int = 256) -> "HashSIFT":
-        return HashSIFT(cropping_scale, nbits)
+    def create(cropping_scale: float = 1.0, nbits: int = 256,
+               sigma: float = 0.0) -> "HashSIFT":
+        return HashSIFT(cropping_scale, nbits, sigma)
 
 
 class EfficientFeatures:

@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.params import load_bad_params
 from ..utils import semantics as S
 
-WIN_H = 80
+WIN_H = 96
 WIN_W = 256
 DEG2RAD = np.float32(0.017453292519943295)
 MARGIN = np.float32(1.75)
@@ -55,12 +55,17 @@ def _interpret() -> bool:
 
 
 def plan_windows(x: jax.Array, y: jax.Array, img_h: int, img_w: int):
-    """Aligned window origins per keypoint + padded image dims."""
+    """Aligned window origins per keypoint + padded image dims.
+
+    Row origins quantize to 32 (not the round-1 8): the BAD row support is
+    keypoint +-24 px, so a 96-row window with the keypoint row at offset
+    [32, 64) always covers it, and 4x fewer distinct windows exist at high
+    keypoint density — one window DMA now serves ~4x more keypoints."""
     pad_h = max(-(-img_h // 8) * 8, WIN_H)
     pad_w = max(-(-img_w // 128) * 128, WIN_W)
     xi = jnp.floor(x).astype(jnp.int32)
     yi = jnp.floor(y).astype(jnp.int32)
-    base_y = jnp.clip(((yi - 36) // 8) * 8, 0, pad_h - WIN_H)
+    base_y = jnp.clip(((yi - 32) // 32) * 32, 0, pad_h - WIN_H)
     base_x = jnp.clip(((xi - 96) // 128) * 128, 0, pad_w - WIN_W)
     return base_y, base_x, pad_h, pad_w
 
@@ -130,11 +135,13 @@ def _bad_kernel(by_ref, bx_ref, meta_ref, nstart_ref,
                        pl.ds(pl.multiple_of(bx_ref[idx], 128), WIN_W)],
             win_ref.at[slot], sem.at[slot])
 
-    # Keypoints arrive sorted by window origin: one DMA per DISTINCT window
-    # group, double-buffered across groups (prefetch the next group's window
-    # while this group's keypoints compute).
-    first = i * _BAD_KPB
-    get_dma(meta_ref[first] & 1, first).start()
+    # Keypoints arrive sorted by window origin: ONE DMA per DISTINCT window
+    # group (windows persist in the scratch across programs), double-buffered
+    # (each group's start prefetches the next group's window, wherever it
+    # lives in the grid).
+    @pl.when(i == 0)
+    def _():
+        get_dma(meta_ref[0] & 1, 0).start()
 
     def body(k, carry):
         idx = i * _BAD_KPB + k
@@ -145,7 +152,7 @@ def _bad_kernel(by_ref, bx_ref, meta_ref, nstart_ref,
         def _():
             nxt = nstart_ref[idx]
 
-            @pl.when(nxt < (i + 1) * _BAD_KPB)
+            @pl.when(nxt < nstart_ref.shape[0])
             def _():
                 get_dma(1 - slot, nxt).start()
 
@@ -246,17 +253,20 @@ def _window_groups(key, kpb):
 
     `key` is the _window_key of each (padded, sorted) keypoint.  Returns
     (grp, is_start, next_start): `grp` is the 0-based group id (its
-    parity selects the DMA buffer slot), `is_start` marks group and program
-    starts (where the kernel waits for the window DMA), `next_start` is the
-    index of the following start (prefetch target; past-the-end when none).
-    Must be called on the final padded arrays so every DMA start has a
-    matching wait."""
+    parity selects the DMA buffer slot), `is_start` marks GROUP starts only
+    (plus index 0) — windows stay resident in the double-buffer scratch
+    across program boundaries, so exactly one DMA is issued per distinct
+    window (round 1 re-DMA'd at every program start too: ~#programs extra
+    window fetches at high keypoint counts).  `next_start` is the index of
+    the following start (cross-program prefetch target; past-the-end when
+    none).  Must be called on the final padded arrays so every DMA start
+    has a matching wait."""
+    del kpb  # starts no longer depend on the program blocking
     n = key.shape[0]
     changed = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), (key[1:] != key[:-1]).astype(jnp.int32)])
     grp = jnp.cumsum(changed).astype(jnp.int32)
-    prog_start = (jnp.arange(n, dtype=jnp.int32) % kpb) == 0
-    is_start = (changed == 1) | prog_start
+    is_start = (changed == 1) | (jnp.arange(n, dtype=jnp.int32) == 0)
     idxs = jnp.where(is_start, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
     # next_start[j] = min index > j that is a start (or n, past the end)
     suffix_min = jnp.flip(jax.lax.cummin(jnp.flip(idxs)))
@@ -349,9 +359,10 @@ def _bad_descriptors_windows_impl(image, x, y, size, angle, valid,
 # ---------------------------------------------------------------------------
 
 _IC_KPB = 128
-# IC only reads the 31px disc: a 40-row window (8-row base alignment slack
-# + 31 rows) halves the per-keypoint DMA traffic vs the shared 80-row plan
-_IC_WIN_H = 40
+# IC only reads the 31px disc: row origins quantize to 32 (4x fewer distinct
+# windows at high keypoint density), so a 64-row window (32 quantization
+# slack + 31 disc rows) always covers it
+_IC_WIN_H = 64
 
 
 def _ic_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref, umax_ref,
@@ -366,8 +377,9 @@ def _ic_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref, umax_ref,
                        pl.ds(pl.multiple_of(bx_ref[idx], 128), WIN_W)],
             win_ref.at[slot], sem.at[slot])
 
-    first = i * _IC_KPB
-    get_dma(meta_ref[first] & 1, first).start()   # grouped window prefetch
+    @pl.when(i == 0)
+    def _():
+        get_dma(meta_ref[0] & 1, 0).start()
 
     def body(k, carry):
         idx = i * _IC_KPB + k
@@ -378,7 +390,7 @@ def _ic_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref, umax_ref,
         def _():
             nxt = nstart_ref[idx]
 
-            @pl.when(nxt < (i + 1) * _IC_KPB)
+            @pl.when(nxt < nstart_ref.shape[0])
             def _():
                 get_dma(1 - slot, nxt).start()
 
@@ -414,11 +426,11 @@ def _ic_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref, umax_ref,
 def _ic_angles_windows_impl(image, ys, xs, valid):
     """IC-angle via the window kernel; exact integer moments, f32 atan2."""
     h, w = image.shape
-    # private 40-row plan: base_y = ((y-15)//8)*8 puts the disc rows
-    # [y-15, y+15] inside [base_y, base_y+38) for every interior keypoint
+    # 32-quantized plan: base_y = ((y-15)//32)*32 puts the disc rows
+    # [y-15, y+15] inside [base_y, base_y+63) for every interior keypoint
     pad_h = max(-(-h // 8) * 8, _IC_WIN_H)
     pad_w = max(-(-w // 128) * 128, WIN_W)
-    base_y = jnp.clip(((ys.astype(jnp.int32) - S.HALF_PATCH_SIZE) // 8) * 8,
+    base_y = jnp.clip(((ys.astype(jnp.int32) - S.HALF_PATCH_SIZE) // 32) * 32,
                       0, pad_h - _IC_WIN_H)
     base_x = jnp.clip(((xs.astype(jnp.int32) - 96) // 128) * 128,
                       0, pad_w - WIN_W)
@@ -474,10 +486,13 @@ def _ic_angles_windows_impl(image, ys, xs, valid):
 
 _WARP_KPB = 8
 # Warp-private window plan: patch samples stay within +-24 px of the keypoint
-# (|u - kx| <= 16*sqrt(2)*s + 1 with s <= 0.945 from max_window_size), so a
-# 56-row window with the keypoint row at offset [24, 32) covers every
-# in-image bilinear support row — 30% less DMA than the shared 80-row plan.
-_WARP_WIN_H = 56
+# (|u - kx| <= 16*sqrt(2)*s + 1 with s <= 0.945 from max_window_size).  Row
+# origins quantize to 32 (4x fewer distinct windows -> 4x fewer DMAs at high
+# keypoint counts): an 80-row window puts the keypoint row at offset
+# [24, 56), and each keypoint takes an 8-aligned 56-row slice of the
+# resident window (keypoint at slice offset [24, 32)) before compaction.
+_WARP_WIN_H = 80
+_WARP_SLICE_H = 56
 # Columns are compacted to the 64 window columns [off, off+64) around the
 # keypoint by a one-hot matmul (win @ P) instead of the former two
 # per-keypoint pltpu.rolls; off is clamped so border keypoints' in-image
@@ -505,8 +520,9 @@ def _warp_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref,
                        pl.ds(pl.multiple_of(bx_ref[idx], 128), WIN_W)],
             win_ref.at[slot], sem.at[slot])
 
-    first = i * _WARP_KPB
-    get_dma(meta_ref[first] & 1, first).start()   # grouped window prefetch
+    @pl.when(i == 0)
+    def _():
+        get_dma(meta_ref[0] & 1, 0).start()
 
     def half(pair, j):
         """DMA bookkeeping + compacted 64-col window for keypoint j of the
@@ -521,7 +537,7 @@ def _warp_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref,
         def _():
             nxt = nstart_ref[idx]
 
-            @pl.when(nxt < (i + 1) * _WARP_KPB)
+            @pl.when(nxt < nstart_ref.shape[0])
             def _():
                 get_dma(1 - slot, nxt).start()
 
@@ -545,6 +561,15 @@ def _warp_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref,
         valid_px = ((ui >= 0) & (ui + 1 < img_w) &
                     (vi >= 0) & (vi + 1 < img_h))
 
+        # per-keypoint 8-aligned 56-row slice of the resident 80-row window
+        # (keypoint row lands at slice offset [24, 32); border clamps keep
+        # all in-image support rows inside the slice)
+        yi_loc = jnp.floor(kp_ref[k, 1]).astype(jnp.int32) - by_ref[idx]
+        row_off = jnp.clip(((yi_loc - 24) // 8) * 8, 0,
+                           _WARP_WIN_H - _WARP_SLICE_H)
+        win56 = winbf_ref[slot, pl.ds(pl.multiple_of(row_off, 8),
+                                      _WARP_SLICE_H), :]
+
         # column compaction by one-hot matmul: select window columns
         # [off, off+64).  P is exact {0,1} with one nonzero per output
         # column, so win_c holds exact pixel integers.
@@ -553,14 +578,13 @@ def _warp_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref,
         csel = jax.lax.broadcasted_iota(jnp.int32, (WIN_W, _WARP_CW), 0)
         jsel = jax.lax.broadcasted_iota(jnp.int32, (WIN_W, _WARP_CW), 1)
         Pm = (csel == jsel + off).astype(jnp.bfloat16)
-        win_c = jnp.dot(winbf_ref[slot], Pm,
-                        preferred_element_type=jnp.float32)
+        win_c = jnp.dot(win56, Pm, preferred_element_type=jnp.float32)
         blk = jnp.concatenate(
-            [win_c, jnp.zeros((64 - _WARP_WIN_H, _WARP_CW), jnp.float32)],
+            [win_c, jnp.zeros((64 - _WARP_SLICE_H, _WARP_CW), jnp.float32)],
             axis=0).astype(jnp.bfloat16)                  # (64, 64)
 
         u_loc = u - (bx_ref[idx] + off).astype(jnp.float32)   # (1, npx)
-        v_loc = v - by_ref[idx].astype(jnp.float32)
+        v_loc = v - (by_ref[idx] + row_off).astype(jnp.float32)
         return blk, u_loc, v_loc, valid_px
 
     def body(pair):
@@ -631,12 +655,12 @@ def _warp_patches_windows_impl(image, x, y, size, angle, valid,
     the VPU in full f32, so patches match the oracle's reference-exact float
     lerp up to IEEE rounding order."""
     h, w = image.shape
-    # warp-private 56-row plan: keypoint row lands at offset [24, 32)
+    # 32-quantized 80-row plan: keypoint row lands at offset [24, 56)
     pad_h = max(-(-h // 8) * 8, _WARP_WIN_H)
     pad_w = max(-(-w // 128) * 128, WIN_W)
     yi = jnp.floor(y).astype(jnp.int32)
     xi = jnp.floor(x).astype(jnp.int32)
-    base_y = jnp.clip(((yi - 24) // 8) * 8, 0, pad_h - _WARP_WIN_H)
+    base_y = jnp.clip(((yi - 24) // 32) * 32, 0, pad_h - _WARP_WIN_H)
     base_x = jnp.clip(((xi - 96) // 128) * 128, 0, pad_w - WIN_W)
     padded = pad_image(image, pad_h, pad_w)
     order = jnp.argsort(_window_key(base_y, base_x, pad_w))
