@@ -188,6 +188,49 @@ def select_topk(resp: jax.Array, survivor: jax.Array, quota: int,
         v, i = jax.lax.top_k(masked, quota)
         return v, i
 
+    # NMS 8x8 block reduction: with nonmax_radius >= 10, any two pixels in
+    # one 8x8 block are < 10 px apart (diag 9.9), so a block holds at most
+    # ONE untied survivor — reduce the map 64x (block max + its lowest
+    # global index), then an exact (value desc, index asc) two-key sort of
+    # the tiny reduced set.  Tied co-survivors inside one block would be
+    # merged, so per-block survivor counts gate a lax.cond fallback to the
+    # dense top-k — bit-exact for every input.
+    if (nms_radius is not None and nms_radius >= 10 and n >= 4 * 65536
+            and quota <= (h // 8 + 1) * (w // 8 + 1)):
+        hp = -(-h // 8) * 8
+        wp = -(-w // 8) * 8
+        m2 = jnp.pad(masked.reshape(h, w), ((0, hp - h), (0, wp - w)),
+                     constant_values=RESP_SENTINEL)
+        blk = m2.reshape(hp // 8, 8, wp // 8, 8)
+        bmax = blk.max(axis=(1, 3))                     # (hp/8, wp/8)
+        alive = blk != RESP_SENTINEL
+        counts = alive.sum(axis=(1, 3))
+        gidx = (jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0) * w
+                + jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+                ).reshape(hp // 8, 8, wp // 8, 8)
+        cand = (blk == bmax[:, None, :, None]) & alive
+        bidx = jnp.where(cand, gidx, jnp.int32(n)).min(axis=(1, 3))
+
+        def reduced(_=None):
+            nb = bmax.size
+            kq = min(quota, nb)
+            negv, gi = jax.lax.sort(
+                (-bmax.reshape(-1), bidx.reshape(-1)), num_keys=2)
+            v = -negv[:kq]
+            gi = gi[:kq]
+            if kq < quota:
+                v = jnp.pad(v, (0, quota - kq),
+                            constant_values=RESP_SENTINEL)
+                gi = jnp.pad(gi, (0, quota - kq))
+            return v, gi
+
+        vals, idx = jax.lax.cond(jnp.any(counts > 1), flat, reduced, None)
+        valid = vals != RESP_SENTINEL
+        ys = (idx // w).astype(jnp.int32)
+        xs = (idx % w).astype(jnp.int32)
+        return (jnp.where(valid, ys, 0), jnp.where(valid, xs, 0),
+                jnp.where(valid, vals, jnp.float32(0)), valid)
+
     chunk0 = 32768
     vals = idx = None
     if n >= 4 * chunk0 and w <= chunk0 // 2:

@@ -11,11 +11,19 @@ backends.  Everything is shape-static and fuses under jit.
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..utils import semantics as S
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
 
 
 def resize_u8(src: jax.Array, dst_hw: tuple[int, int]) -> jax.Array:
@@ -45,8 +53,183 @@ def build_pyramid(image: jax.Array, scale_factor: float, nlevels: int) -> list[j
     shapes = S.pyramid_shapes(image.shape[0], image.shape[1], scale_factor, nlevels)
     levels = [image]
     for s in range(1, nlevels):
-        levels.append(resize_u8(levels[-1], shapes[s]))
+        levels.append(resize_u8_fast(levels[-1], shapes[s]))
     return levels
+
+
+# ---------------------------------------------------------------------------
+# Pallas tiled resize: kills the HBM hpass intermediate
+# ---------------------------------------------------------------------------
+# The XLA resize above lowers its two jnp.take gathers to real HBM traffic: a
+# src_h x dst_w int32 intermediate is written and re-read per level (27 MB at
+# 4K — ~35 ms of the round-1 detect on the dev chip).  The resize is really a
+# BANDED matrix product per axis (each dst column reads 2 adjacent src
+# columns), so tile the destination 128x128 and contract each tile against
+# per-tile banded coefficient blocks ON THE INT8 MXU with exact int32
+# accumulation:
+#
+#   hp  = (src - 128) @ [Mh_lo + 64*Mh_hi] + 128*2048      (2 int8 matmuls)
+#   acc = sum_limbs 2^shift * (Mv_limb @ hp_limb)          (6 int8 matmuls)
+#   dst = (acc + 2^21) >> 22                               (exact fixed point)
+#
+# Weights are 0..2048 (12 bits) split into 6+6-bit limbs; hp <= 255*2048
+# (19 bits) splits into three 7-bit limbs — every int8 product accumulates
+# exactly in int32, so the result is BIT-IDENTICAL to resize_u8 / the oracle.
+# All coefficient blocks and window origins are trace-time constants.
+
+
+def _resize_tiles(dst_n, src_n, tile, align):
+    """Per-tile banded coefficient blocks + aligned src origins (numpy).
+
+    Returns (origins (nt,) int32, M (nt, win, tile) int32, win).  Dst
+    positions beyond dst_n replicate the last real column (their outputs are
+    sliced away; replication keeps every column's weights summing to 2048 so
+    the int8 rebias stays exact)."""
+    i0, i1, w1 = S.resize_axis_coeffs(dst_n, src_n)
+    one = 1 << S.RESIZE_BITS
+    nt = -(-dst_n // tile)
+    pad = nt * tile - dst_n
+    i0 = np.pad(i0, (0, pad), mode="edge")
+    i1 = np.pad(i1, (0, pad), mode="edge")
+    w1 = np.pad(w1, (0, pad), mode="edge")
+    origins = np.zeros(nt, np.int32)
+    win = 0
+    for t in range(nt):
+        lo = (i0[t * tile:(t + 1) * tile].min() // align) * align
+        hi = i1[t * tile:(t + 1) * tile].max()
+        origins[t] = lo
+        win = max(win, int(hi - lo + 1))
+    win = -(-win // align) * align
+    M = np.zeros((nt, win, tile), np.int32)
+    for t in range(nt):
+        j = np.arange(tile)
+        np.add.at(M[t], (i0[t * tile + j] - origins[t], j), one - w1[t * tile + j])
+        np.add.at(M[t], (i1[t * tile + j] - origins[t], j), w1[t * tile + j])
+    return origins, M, win
+
+
+def _resize_kernel(sy_ref, sx_ref, mh_l, mh_h, mv_l, mv_h, src_hbm,
+                   out_ref, src_ref, sem, *, wr, wc):
+    # mh_*/mv_* are whole-array VMEM residents (a few MB, fetched once for
+    # the entire grid); per-program blocked fetches of the coefficient
+    # blocks measured ~37 MB of redundant HBM traffic at 4K.
+    rt = pl.program_id(0)
+    ct = pl.program_id(1)
+    nct = pl.num_programs(1)
+
+    def dma(slot, r, c):
+        return pltpu.make_async_copy(
+            src_hbm.at[pl.ds(pl.multiple_of(sy_ref[r], 8), wr),
+                       pl.ds(pl.multiple_of(sx_ref[c], 128), wc)],
+            src_ref.at[slot], sem.at[slot])
+
+    step = rt * nct + ct
+    slot = jax.lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _():
+        dma(slot, rt, ct).start()
+
+    # prefetch the next tile's source block while this one computes
+    nxt_ct = jax.lax.rem(ct + 1, nct)
+    nxt_rt = rt + (ct + 1) // nct
+
+    @pl.when(step + 1 < pl.num_programs(0) * nct)
+    def _():
+        dma(1 - slot, nxt_rt, nxt_ct).start()
+
+    dma(slot, rt, ct).wait()
+
+    a = (src_ref[slot].astype(jnp.int32) - 128).astype(jnp.int8)
+    one = jnp.int32(1 << S.RESIZE_BITS)
+
+    def i8dot(x, y):
+        return jax.lax.dot_general(x, y, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+
+    # horizontal: (wr, wc) @ (wc, 128); bias undo is exact because every
+    # dst column's weights sum to 2048
+    hp = (i8dot(a, mh_l[ct]) + (i8dot(a, mh_h[ct]) << 6)
+          + (one << 7))                                    # (wr, 128) int32
+    l0 = (hp & 127).astype(jnp.int8)
+    l1 = ((hp >> 7) & 127).astype(jnp.int8)
+    l2 = (hp >> 14).astype(jnp.int8)
+    acc = (i8dot(mv_l[rt], l0) + (i8dot(mv_h[rt], l0) << 6)
+           + ((i8dot(mv_l[rt], l1) + (i8dot(mv_h[rt], l1) << 6)) << 7)
+           + ((i8dot(mv_l[rt], l2) + (i8dot(mv_h[rt], l2) << 6)) << 14))
+    rnd = jnp.int32(1 << (2 * S.RESIZE_BITS - 1))
+    out_ref[...] = ((acc + rnd) >> (2 * S.RESIZE_BITS)).astype(jnp.uint8)
+
+
+def resize_u8_pallas(src: jax.Array, dst_hw: tuple[int, int]) -> jax.Array:
+    """Tiled MXU resize, bit-identical to resize_u8 (see block comment)."""
+    h, w = dst_hw
+    sh, sw = src.shape
+    tile = 128
+    sy, Mv, wr = _resize_tiles(h, sh, tile, 8)
+    sx, Mh, wc = _resize_tiles(w, sw, tile, 128)
+    nrt, nct = len(sy), len(sx)
+    # pad the source so every (wr, wc) window is in bounds
+    ph = max(-(-sh // 8) * 8, int(sy.max()) + wr)
+    pw = max(-(-sw // 128) * 128, int(sx.max()) + wc)
+    padded = jnp.pad(src, ((0, ph - sh), (0, pw - sw)))
+
+    def limbs_h(M):  # (nct, wc, tile) int32 weights -> 6+6 bit int8 limbs
+        return (jnp.asarray((M & 63).astype(np.int8)),
+                jnp.asarray((M >> 6).astype(np.int8)))
+
+    mh_l, mh_h = limbs_h(Mh)
+    # vertical blocks contract over rows: transpose to (nrt, tile, wr)
+    MvT = np.swapaxes(Mv, 1, 2)
+    mv_l, mv_h = (jnp.asarray((MvT & 63).astype(np.int8)),
+                  jnp.asarray((MvT >> 6).astype(np.int8)))
+
+    kernel = functools.partial(_resize_kernel, wr=wr, wc=wc)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nrt, nct),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((tile, tile), lambda r, c, *_: (r, c),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, wr, wc), jnp.uint8),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nrt * tile, nct * tile), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(jnp.asarray(sy), jnp.asarray(sx), mh_l, mh_h, mv_l, mv_h, padded)
+    return out[:h, :w]
+
+
+def resize_u8_fast(src: jax.Array, dst_hw: tuple[int, int]) -> jax.Array:
+    """resize_u8 via the Pallas tile kernel on TPU (bit-identical), XLA
+    gathers elsewhere / for tiny levels."""
+    if _use_pallas_resize() and min(dst_hw) >= 16:
+        return resize_u8_pallas(src, dst_hw)
+    return resize_u8(src, dst_hw)
+
+
+def _use_pallas_resize() -> bool:
+    # opt-in: combining all 7 pyramid resize kernels with the detect kernels
+    # in one 4K jit produced a pathological (>10 min) XLA compile on the dev
+    # toolchain, and the measured runtime gain there was nil (the tiled
+    # kernel wins on HBM traffic, which the dev chip did not reward in the
+    # sessions measured).  The kernel stays fully tested (interpret +
+    # compiled -m tpu tier) and can be enabled per-run.
+    import os
+    return (jax.default_backend() == "tpu"
+            and os.environ.get("EFF_TPU_PALLAS_RESIZE", "0") == "1")
 
 
 def gaussian_blur7_u8(img: jax.Array) -> jax.Array:

@@ -258,3 +258,46 @@ def test_end_to_end_detect_and_compute(img):
     nz = (oracle_desc != desc).sum()
     budget = int(2e-5 * desc.size) + 1
     assert nz <= budget, f"{nz} differing bytes > budget {budget}"
+
+
+def test_topk_block_reduced_path_exact():
+    """nms_radius >= 10 block-reduction top-k: bit-exact vs the flat
+    lexsort, including the tie-inside-one-block fallback."""
+    rng = np.random.default_rng(21)
+    h, w = 512, 1024   # n >= 4*65536 triggers the reduced path
+
+    def oracle(resp, surv, quota):
+        flat = np.where(surv, resp, -np.inf).reshape(-1)
+        order = np.lexsort((np.arange(flat.size), -flat))[:quota]
+        keep = flat[order] != -np.inf
+        return order[keep], flat[order][keep]
+
+    # NMS-spaced survivors (radius 15: at most one per 8x8 block)
+    resp = rng.standard_normal((h, w)).astype(np.float32)
+    surv = np.zeros((h, w), bool)
+    ys = rng.integers(0, h // 16, 300) * 16
+    xs = rng.integers(0, w // 16, 300) * 16
+    surv[ys, xs] = True
+    quota = 256
+    jys, jxs, jr, jv = OD.select_topk(jnp.asarray(resp), jnp.asarray(surv),
+                                      quota, nms_radius=15)
+    oidx, ovals = oracle(resp, surv, quota)
+    nn = int(np.asarray(jv).sum())
+    assert nn == len(oidx)
+    got = np.asarray(jys)[:nn].astype(np.int64) * w + np.asarray(jxs)[:nn]
+    np.testing.assert_array_equal(got, oidx)
+    np.testing.assert_array_equal(np.asarray(jr)[:nn], ovals)
+
+    # tied co-survivors inside one 8x8 block -> lax.cond dense fallback
+    resp2 = resp.copy()
+    surv2 = surv.copy()
+    surv2[100, 200] = surv2[102, 203] = True
+    resp2[100, 200] = resp2[102, 203] = np.float32(7.25)
+    jys, jxs, jr, jv = OD.select_topk(jnp.asarray(resp2), jnp.asarray(surv2),
+                                      quota, nms_radius=15)
+    oidx, ovals = oracle(resp2, surv2, quota)
+    nn = int(np.asarray(jv).sum())
+    assert nn == len(oidx)
+    got = np.asarray(jys)[:nn].astype(np.int64) * w + np.asarray(jxs)[:nn]
+    np.testing.assert_array_equal(got, oidx)
+    np.testing.assert_array_equal(np.asarray(jr)[:nn], ovals)
