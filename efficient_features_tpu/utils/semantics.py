@@ -36,6 +36,15 @@ Documented deviations from the CUDA reference (deterministic by design):
      compiler codegen (plain f32 math differs in the last bit between backends,
      which would make selection nondeterministic across them).  The ~0.05%
      response quantization only coarsens corner *ranking* granularity.
+  5. BAD border compare: division-free cross-multiplied form with exact
+     integer products while a1*a2 < 2^22; larger boxes (user keypoints with
+     size >~ 120) use 12-significant-bit truncated f32 operands so products
+     stay exact — deterministic on every backend (TPU has no int64).
+  6. HashSIFT patch warp: the reference's own full-f32 bilinear lerp.  The
+     TPU kernel's MXU work is exact one-hot pixel gathers; weights apply in
+     f32 on the VPU, so residual cross-backend differences are IEEE rounding
+     order (FMA contraction) and cos/sin ULPs only — well inside the
+     reference's 1e-4 parity budget (measured ~3e-6 of patch pixels, +-1).
 """
 from __future__ import annotations
 
