@@ -81,11 +81,21 @@ class KeyPoints:
                         axis=1).astype(np.float32)
 
     def cv_keypoints(self):
-        """Convert to a list of cv2.KeyPoint (requires cv2)."""
-        import cv2
+        """Convert to a list of cv2.KeyPoint (the reference `convert`,
+        cuda_efficient_features.cpp:323-349).  Without cv2 installed, returns
+        duck-typed keypoints with the same attributes (pt, size, angle,
+        response, octave)."""
         h = self._compact()
-        return [cv2.KeyPoint(float(x), float(y), float(sz), float(a),
-                             float(r), int(o))
+        try:
+            import cv2
+            make = lambda x, y, sz, a, r, o: cv2.KeyPoint(  # noqa: E731
+                float(x), float(y), float(sz), float(a), float(r), int(o))
+        except ImportError:
+            from types import SimpleNamespace
+            make = lambda x, y, sz, a, r, o: SimpleNamespace(  # noqa: E731
+                pt=(float(x), float(y)), size=float(sz), angle=float(a),
+                response=float(r), octave=int(o), class_id=-1)
+        return [make(x, y, sz, a, r, o)
                 for x, y, sz, a, r, o in zip(h["x"], h["y"], h["size"],
                                              h["angle"], h["response"],
                                              h["octave"])]

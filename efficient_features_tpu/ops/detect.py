@@ -269,3 +269,59 @@ def select_topk(resp: jax.Array, survivor: jax.Array, quota: int,
     xs = (idx % w).astype(jnp.int32)
     return (jnp.where(valid, ys, 0), jnp.where(valid, xs, 0),
             jnp.where(valid, vals, jnp.float32(0)), valid)
+
+
+def select_topk_cells(cellmax, cellrow, cellcnt, h, w, quota,
+                      dense_fallback):
+    """Exact top-`quota` selection from `fast_harris_nms_cells` outputs.
+
+    Combines the kernel's 8-row cells into 8x8 blocks (<= 1 untied survivor
+    per block for nonmax_radius >= 10) and two-key sorts (value desc, global
+    index asc) the tiny block set — the dense suppressed map never exists.
+    `dense_fallback` is a traced thunk returning the exact dense
+    (vals, flat_idx) selection; it runs only when some block holds tied
+    co-survivors (counts > 1), keeping the result bit-exact for all inputs.
+    """
+    n = h * w
+    quota = min(quota, n)
+    big = jnp.int32(2147483647)
+    cm = cellmax[:, :w]
+    cr = cellrow[:, :w]
+    cc = cellcnt[:, :w]
+    H8 = cm.shape[0]
+    w8 = -(-w // 8)
+    padc = w8 * 8 - w
+    if padc:
+        cm = jnp.pad(cm, ((0, 0), (0, padc)), constant_values=RESP_SENTINEL)
+        cr = jnp.pad(cr, ((0, 0), (0, padc)), constant_values=big)
+        cc = jnp.pad(cc, ((0, 0), (0, padc)))
+    b_m = cm.reshape(H8, w8, 8)
+    alive = b_m != RESP_SENTINEL
+    bmax = b_m.max(axis=2)
+    counts = cc.reshape(H8, w8, 8).sum(axis=2)
+    cols = jnp.arange(w8 * 8, dtype=jnp.int32).reshape(1, w8, 8)
+    g3 = jnp.where(alive, cr.reshape(H8, w8, 8) * jnp.int32(w) + cols,
+                   jnp.int32(n))
+    cand = (b_m == bmax[..., None]) & alive
+    bidx = jnp.where(cand, g3, jnp.int32(n)).min(axis=2)
+
+    def reduced(_=None):
+        nb = bmax.size
+        kq = min(quota, nb)
+        negv, gi = jax.lax.sort(
+            (-bmax.reshape(-1), bidx.reshape(-1)), num_keys=2)
+        v = -negv[:kq]
+        gi = gi[:kq]
+        if kq < quota:
+            v = jnp.pad(v, (0, quota - kq), constant_values=RESP_SENTINEL)
+            gi = jnp.pad(gi, (0, quota - kq))
+        return v, gi
+
+    vals, idx = jax.lax.cond(jnp.any(counts > 1),
+                             lambda _: tuple(dense_fallback(_)), reduced,
+                             None)
+    valid = vals != RESP_SENTINEL
+    ys = (idx // w).astype(jnp.int32)
+    xs = (idx % w).astype(jnp.int32)
+    return (jnp.where(valid, ys, 0), jnp.where(valid, xs, 0),
+            jnp.where(valid, vals, jnp.float32(0)), valid)

@@ -437,3 +437,198 @@ def fast_harris_nms(image: jax.Array, threshold: int, radius: int) -> jax.Array:
         interpret=_interpret(),
     )(dims, padded)
     return out[:h, :w]
+
+
+# ---------------------------------------------------------------------------
+# Kernel 3b: fused FAST+Harris+NMS with CELL-REDUCED output
+# ---------------------------------------------------------------------------
+# With nonmax_radius >= 10 an 8x8 image block holds at most one untied NMS
+# survivor (diag 9.9 < radius), so the dense f32 map (33 MB at 4K) never
+# needs to exist: the kernel reduces each 8-row x 1-col cell to (max value,
+# lowest global row of a maximal survivor, survivor count) while the tile is
+# still in VMEM, and the selection stage works on the 8x-smaller cell arrays
+# (the final 8-lane combine happens in XLA on ~4 MB).  Tied co-survivors in
+# one 8x8 block are detected from the counts and the caller falls back to
+# the dense path, keeping selection bit-exact for every input.
+
+
+def _fast_harris_nms_reduced_kernel(dims_ref, img_hbm, max_ref, row_ref,
+                                    cnt_ref, win_ref, sem, *,
+                                    threshold, radius, tile_h, tile_w,
+                                    halo_y, halo_x):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    ph = tile_h + 2 * halo_y
+    pw = tile_w + 2 * halo_x
+    R = radius - 1
+    eh = tile_h + 2 * R
+    ew = tile_w + 2 * R
+
+    copy = pltpu.make_async_copy(
+        img_hbm.at[pl.ds(ti * tile_h, ph), pl.ds(tj * tile_w, pw)],
+        win_ref, sem)
+    copy.start()
+    copy.wait()
+
+    win = win_ref[...].astype(jnp.int32)
+    oy = halo_y - R
+    ox = halo_x - R
+
+    def sh(dy, dx, hh, ww, o_y, o_x):
+        return jax.lax.slice(win, (o_y + dy, o_x + dx),
+                             (o_y + dy + hh, o_x + dx + ww))
+
+    center = sh(0, 0, eh, ew, oy, ox)
+    hi = center + threshold
+    lo = center - threshold
+    brighter = jnp.zeros((eh, ew), jnp.int32)
+    darker = jnp.zeros((eh, ew), jnp.int32)
+    for bit, (dy, dx) in enumerate(S.FAST_CIRCLE):
+        v = sh(int(dy), int(dx), eh, ew, oy, ox)
+        brighter = brighter | ((v > hi).astype(jnp.int32) << bit)
+        darker = darker | ((v < lo).astype(jnp.int32) << bit)
+
+    def any_run9(m):
+        acc = m
+        for s in range(1, S.FAST_ARC_LEN):
+            acc = acc & (((m >> s) | (m << (16 - s))) & 0xFFFF)
+        return acc != 0
+
+    corner = any_run9(brighter) | any_run9(darker)
+
+    gh2 = eh + 6
+    gw2 = ew + 6
+
+    def shd(dy, dx):
+        return sh(dy, dx, gh2, gw2, oy - 3, ox - 3)
+
+    gx = ((shd(1, 1) + 2 * shd(0, 1) + shd(-1, 1))
+          - (shd(1, -1) + 2 * shd(0, -1) + shd(-1, -1)))
+    gy = ((shd(1, -1) + 2 * shd(1, 0) + shd(1, 1))
+          - (shd(-1, -1) + 2 * shd(-1, 0) + shd(-1, 1)))
+
+    def box7(m):
+        rows = sum(jax.lax.slice(m, (0, 3 + d), (gh2, 3 + d + ew))
+                   for d in range(-3, 4))
+        return sum(jax.lax.slice(rows, (3 + d, 0), (3 + d + eh, ew))
+                   for d in range(-3, 4))
+
+    s2 = np.float32(S.HARRIS_SCALE) * np.float32(S.HARRIS_SCALE)
+    sxx = _trunc_mantissa(s2 * box7(gx * gx).astype(jnp.float32), 12)
+    sxy = _trunc_mantissa(s2 * box7(gx * gy).astype(jnp.float32), 12)
+    syy = _trunc_mantissa(s2 * box7(gy * gy).astype(jnp.float32), 12)
+    tr = _trunc_mantissa(sxx + syy, 13)
+    resp = (sxx * syy - sxy * sxy) - np.float32(S.HARRIS_K) * (tr * tr)
+
+    true_h = dims_ref[0]
+    true_w = dims_ref[1]
+    gy_ids = jax.lax.broadcasted_iota(jnp.int32, (eh, ew), 0) \
+        + ti * tile_h - R
+    gx_ids = jax.lax.broadcasted_iota(jnp.int32, (eh, ew), 1) \
+        + tj * tile_w - R
+    b = S.HALF_PATCH_SIZE
+    inb = ((gy_ids >= b) & (gy_ids < true_h - b)
+           & (gx_ids >= b) & (gx_ids < true_w - b))
+    masked = jnp.where(corner & inb, resp, NEG_INF)
+
+    pows = {1: masked}
+    p = 1
+    while 2 * p <= 2 * radius + 1:
+        prev = pows[p]
+        wprev = prev.shape[1]
+        pows[2 * p] = jnp.maximum(
+            jax.lax.slice(prev, (0, 0), (eh, wprev - p)),
+            jax.lax.slice(prev, (0, p), (eh, wprev)))
+        p *= 2
+
+    center_resp = jax.lax.slice(masked, (R, R), (R + tile_h, R + tile_w))
+    disc_max = jnp.full((tile_h, tile_w), NEG_INF)
+    for dy, wdx in S.disc_row_extents(radius):
+        width = 2 * wdx + 1
+        k = 1
+        while k * 2 <= width:
+            k *= 2
+        left = pows[k]
+        if k != width:
+            wk = left.shape[1]
+            left = jnp.maximum(
+                jax.lax.slice(left, (0, 0), (eh, wk - (width - k))),
+                jax.lax.slice(left, (0, width - k), (eh, wk)))
+        contrib = jax.lax.slice(left, (R + dy, R - wdx),
+                                (R + dy + tile_h, R - wdx + tile_w))
+        disc_max = jnp.maximum(disc_max, contrib)
+
+    survive = (center_resp != NEG_INF) & (center_resp >= disc_max)
+    mfin = jnp.where(survive, center_resp, NEG_INF)
+
+    # per-cell (8 rows x 1 col) reduction while the tile is in VMEM
+    m3 = mfin.reshape(tile_h // 8, 8, tile_w)
+    alive3 = survive.reshape(tile_h // 8, 8, tile_w)
+    cellmax = m3.max(axis=1)                               # (th/8, tw)
+    rows3 = (jax.lax.broadcasted_iota(jnp.int32, (tile_h // 8, 8, tile_w), 0)
+             * 8
+             + jax.lax.broadcasted_iota(jnp.int32, (tile_h // 8, 8, tile_w),
+                                        1)
+             + ti * tile_h)
+    cand = (m3 == cellmax[:, None, :]) & alive3
+    big = jnp.int32(2147483647)
+    max_ref[...] = cellmax
+    row_ref[...] = jnp.where(cand, rows3, big).min(axis=1)
+    cnt_ref[...] = alive3.sum(axis=1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def fast_harris_nms_cells(image: jax.Array, threshold: int, radius: int):
+    """Fused dense detect with cell-reduced output: returns
+    (cellmax (ceil8(h)/8, wpad) f32, cellrow (same) i32 global row of the
+    lowest maximal survivor, cellcnt (same) i32 survivor count), each cell
+    covering 8 image rows x 1 column.  Selection-equivalent to
+    fast_harris_nms when every 8x8 block holds <= 1 survivor (the caller
+    checks counts and falls back otherwise)."""
+    h, w = image.shape
+    tile_h, tile_w = _tile_dims(h, w)
+    gh = -(-h // tile_h)
+    gw = -(-w // tile_w)
+    need = radius - 1 + _FH_HALO
+    halo_y = -(-need // 8) * 8
+    halo_x = 128
+    assert halo_x >= need
+    padded = jnp.pad(image, ((halo_y, gh * tile_h - h + halo_y),
+                             (halo_x, gw * tile_w - w + halo_x)))
+    dims = jnp.array([h, w], jnp.int32)
+
+    kernel = functools.partial(_fast_harris_nms_reduced_kernel,
+                               threshold=threshold, radius=radius,
+                               tile_h=tile_h, tile_w=tile_w,
+                               halo_y=halo_y, halo_x=halo_x)
+    th8 = tile_h // 8
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(gh, gw),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=[
+                pl.BlockSpec((th8, tile_w), lambda i, j, *_: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((th8, tile_w), lambda i, j, *_: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((th8, tile_w), lambda i, j, *_: (i, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((tile_h + 2 * halo_y, tile_w + 2 * halo_x),
+                           jnp.uint8),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((gh * th8, gw * tile_w), jnp.float32),
+            jax.ShapeDtypeStruct((gh * th8, gw * tile_w), jnp.int32),
+            jax.ShapeDtypeStruct((gh * th8, gw * tile_w), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(dims, padded)
+    return outs

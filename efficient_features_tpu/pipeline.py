@@ -72,6 +72,29 @@ def _detect_level(img, quota, cfg: FeatureConfig, lvl_mask=None):
     we implement it.)"""
     h, w = img.shape
     if _use_pallas() and min(h, w) > 2 * S.HALF_PATCH_SIZE:
+        if lvl_mask is None and cfg.nonmax_radius >= 10:
+            # fused FAST+Harris+NMS with CELL-REDUCED output: the dense
+            # suppressed map never exists; selection works on the 8x-smaller
+            # cell arrays.  Tied co-survivors in one 8x8 block trigger the
+            # XLA dense recompute (bit-exact for every input).
+            cm, crow, ccnt = PK.fast_harris_nms_cells(
+                img, cfg.fast_threshold, cfg.nonmax_radius)
+
+            def dense_fallback(_=None):
+                corner = ops_detect.fast_corner_mask(img, cfg.fast_threshold)
+                b = S.HALF_PATCH_SIZE
+                border = jnp.zeros((h, w), bool).at[b:h - b, b:w - b].set(True)
+                resp = ops_detect.harris_response(img)
+                surv = ops_detect.radius_nms(resp, corner & border,
+                                             cfg.nonmax_radius)
+                masked = jnp.where(surv, resp, jnp.float32(-jnp.inf))
+                q = min(quota, h * w)
+                return jax.lax.top_k(masked.reshape(-1), q)
+
+            ys, xs, r, valid = ops_detect.select_topk_cells(
+                cm, crow, ccnt, h, w, quota, dense_fallback)
+            ang = WK.ic_angles_windows(img, ys, xs, valid)
+            return ys, xs, r, ang, valid
         if lvl_mask is None:
             # fused FAST+Harris+NMS: one pass, one HBM map
             suppressed = PK.fast_harris_nms(img, cfg.fast_threshold,

@@ -172,3 +172,19 @@ def test_device_resident_compute_rows_align_with_slots(img):
     assert out.shape[0] == kps.capacity
     assert (out[~valid] == 0).all()
     np.testing.assert_array_equal(out[valid], hs.compute(img, kps))
+
+
+def test_convert_roundtrip_without_cv2(img):
+    """convert() (reference cuda_efficient_features.cpp:323-349) works
+    without cv2 via duck-typed keypoints, and the keypoint list roundtrips
+    through _keypoints_to_xysa."""
+    from efficient_features_tpu.api import _keypoints_to_xysa
+
+    feat = EfficientFeatures(nfeatures=150)
+    kps = feat.detect(img)
+    lst = feat.convert(kps)
+    assert len(lst) == kps.count
+    k0 = lst[0]
+    assert hasattr(k0, "pt") and hasattr(k0, "angle")
+    xysa = _keypoints_to_xysa(lst)
+    np.testing.assert_allclose(xysa, kps.xysa(), rtol=0, atol=0)

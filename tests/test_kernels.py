@@ -131,3 +131,68 @@ def test_bad_window_kernel_100k_chunked():
                            nbits=256)
     budget = int(2e-5 * a.size) + 1
     assert (a != d[sub]).sum() <= budget
+
+
+def test_fast_harris_nms_cells_selection_exact(img):
+    """Cell-reduced fused detect + cell top-k == oracle selection."""
+    import jax
+    from efficient_features_tpu.ops import detect as OD
+
+    h, w = img.shape
+    radius, quota = 15, 300
+    border = np.zeros((h, w), bool)
+    border[15:-15, 15:-15] = True
+    corner = R.fast_corner_mask(img, 20) & border
+    resp = R.harris_response(img)
+    surv = R.radius_nms(resp, corner, radius)
+    eys, exs, er = R.select_topk(resp, surv, quota)
+
+    cm, crow, ccnt = PK.fast_harris_nms_cells(jnp.asarray(img), 20, radius)
+
+    def dense_fallback(_=None):
+        masked = jnp.where(jnp.asarray(surv), jnp.asarray(resp),
+                           jnp.float32(-jnp.inf))
+        return jax.lax.top_k(masked.reshape(-1), min(quota, h * w))
+
+    ys, xs, r, valid = OD.select_topk_cells(cm, crow, ccnt, h, w, quota,
+                                            dense_fallback)
+    n = int(np.asarray(valid).sum())
+    assert n == len(eys)
+    np.testing.assert_array_equal(np.asarray(ys)[:n], eys)
+    np.testing.assert_array_equal(np.asarray(xs)[:n], exs)
+    np.testing.assert_array_equal(np.asarray(r)[:n], er)
+
+
+def test_fast_harris_nms_cells_tie_fallback():
+    """Tied co-survivors inside one 8x8 block must route through the dense
+    fallback and still match the oracle."""
+    import jax
+    from efficient_features_tpu.ops import detect as OD
+
+    # two identical corner patterns 4 px apart -> equal Harris responses
+    # inside one 8x8 block survive NMS together (ties co-survive)
+    img = np.full((96, 160), 40, np.uint8)
+    img[40:44, 60:64] = 220
+    img[44:48, 64:68] = 220
+    h, w = img.shape
+    radius, quota = 15, 64
+    border = np.zeros((h, w), bool)
+    border[15:-15, 15:-15] = True
+    corner = R.fast_corner_mask(img, 20) & border
+    resp = R.harris_response(img)
+    surv = R.radius_nms(resp, corner, radius)
+    eys, exs, er = R.select_topk(resp, surv, quota)
+
+    cm, crow, ccnt = PK.fast_harris_nms_cells(jnp.asarray(img), 20, radius)
+
+    def dense_fallback(_=None):
+        masked = jnp.where(jnp.asarray(surv), jnp.asarray(resp),
+                           jnp.float32(-jnp.inf))
+        return jax.lax.top_k(masked.reshape(-1), min(quota, h * w))
+
+    ys, xs, r, valid = OD.select_topk_cells(cm, crow, ccnt, h, w, quota,
+                                            dense_fallback)
+    n = int(np.asarray(valid).sum())
+    assert n == len(eys)
+    np.testing.assert_array_equal(np.asarray(ys)[:n], eys)
+    np.testing.assert_array_equal(np.asarray(xs)[:n], exs)
