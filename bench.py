@@ -42,6 +42,13 @@ def make_bench_image(h, w, seed=0):
 
 def main():
     import jax
+
+    # persistent compile cache: the bench compiles ~10 large pipeline
+    # signatures (minutes each on the tunneled dev toolchain); cached
+    # executables make repeat runs start in seconds
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     from efficient_features_tpu import pipeline as P
 
