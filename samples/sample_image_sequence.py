@@ -13,7 +13,10 @@ import time
 
 import numpy as np
 
-from sample_common import load_gray, descriptor_type, warp_image
+try:
+    from sample_common import load_gray, descriptor_type, warp_image
+except ImportError:    # imported as samples.sample_image_sequence (bench.py)
+    from .sample_common import load_gray, descriptor_type, warp_image
 
 
 def frame_iter(src, n_frames):
