@@ -56,13 +56,21 @@ def main():
         leaf = jax.tree_util.tree_leaves(out)[0]
         np.asarray(jax.device_get(leaf))
 
-    def perf_ms(fn, iters):
+    def perf_ms(fn, iters, reps: int = 3):
+        """Best of `reps` timed batches of `iters` queued dispatches.
+
+        The dev chip is time-shared with 5-10x share swings on the scale of
+        seconds; the min over a few batches estimates the un-throttled rate
+        far more stably than one batch."""
         read(fn())                       # compile + warm
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn()
-        read(out)
-        return (time.perf_counter() - t0) * 1e3 / iters
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn()
+            read(out)
+            best = min(best, (time.perf_counter() - t0) * 1e3 / iters)
+        return best
 
     detail = {"backend": jax.default_backend(),
               "device": str(jax.devices()[0])}
