@@ -56,35 +56,30 @@ def main():
         leaf = jax.tree_util.tree_leaves(out)[0]
         np.asarray(jax.device_get(leaf))
 
-    def perf_ms(fn, iters, reps: int = 3):
-        """Best of `reps` timed batches of `iters` queued dispatches.
+    def time_once(fn, iters):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        read(out)
+        return (time.perf_counter() - t0) * 1e3 / iters
 
-        The dev chip is time-shared with 5-10x share swings on the scale of
-        seconds; the min over a few batches estimates the un-throttled rate
-        far more stably than one batch."""
-        read(fn())                       # compile + warm
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                out = fn()
-            read(out)
-            best = min(best, (time.perf_counter() - t0) * 1e3 / iters)
-        return best
-
-    detail = {"backend": jax.default_backend(),
-              "device": str(jax.devices()[0])}
+    # ------------------------------------------------------------------
+    # Metric registry.  The dev chip is time-shared with 5-10x share swings
+    # on a minutes scale, so each metric is measured once per PASS and the
+    # min over 3 interleaved passes is reported — one good-share pass
+    # anywhere in the ~10-minute run gives every metric its un-throttled
+    # estimate (back-to-back repetitions all land in the same phase).
+    # ------------------------------------------------------------------
+    metrics = []            # (key, fn, iters, baseline_ms or None)
 
     # hardware capability context (the judge can normalize against v5e spec:
     # ~197 TFLOPs bf16, ~820 GB/s HBM)
     a = jnp.ones((4096, 4096), jnp.bfloat16)
     mm = jax.jit(lambda a: jnp.dot(a, a, preferred_element_type=jnp.float32))
-    ms = perf_ms(lambda: mm(a), 10)
-    detail["hw_bf16_tflops"] = round(2 * 4096 ** 3 / (ms / 1e3) / 1e12, 2)
+    metrics.append(("hw_mm", lambda: mm(a), 10, None))
     big = jnp.ones((4096, 4096), jnp.float32)
     ew = jax.jit(lambda x: x * 1.000001 + 0.001)
-    ms = perf_ms(lambda: ew(big), 10)
-    detail["hw_hbm_gbps"] = round(2 * big.size * 4 / (ms / 1e3) / 1e9, 1)
+    metrics.append(("hw_ew", lambda: ew(big), 10, None))
 
     sizes = {"fhd": (1080, 1920), "4k": (2160, 3840), "8k": (4320, 7680)}
     images = {k: jnp.asarray(make_bench_image(*hw)) for k, hw in sizes.items()}
@@ -93,9 +88,9 @@ def main():
     det_cfg = P.FeatureConfig(nfeatures=10000, descriptor_type="bad_256")
     baselines_detect = {"fhd": 1.6, "4k": 2.9, "8k": 5.5}
     for k, img in images.items():
-        ms = perf_ms(lambda img=img: P.detect_jit(img, det_cfg), 5)
-        detail[f"detect_{k}_ms"] = round(ms, 2)
-        detail[f"detect_{k}_vs_rtx3060ti"] = round(baselines_detect[k] / ms, 4)
+        metrics.append((f"detect_{k}",
+                        lambda img=img: P.detect_jit(img, det_cfg),
+                        3, baselines_detect[k]))
 
     # compute-only: 40k fixed keypoints on the 4K image (README.md:58-63)
     img4k = images["4k"]
@@ -112,12 +107,11 @@ def main():
     baselines_compute = {("bad", 256): 1.5, ("bad", 512): 2.7,
                          ("hash_sift", 256): 3.5, ("hash_sift", 512): 3.9}
     for (kind, bits), base in baselines_compute.items():
-        iters = 3 if kind == "bad" else 1
-        ms = perf_ms(lambda kind=kind, bits=bits:
-                     P.compute_jit(img4k, kps_j, valid, bits, kind, 1.0, True),
-                     iters)
-        detail[f"compute40k_{kind}{bits}_ms"] = round(ms, 2)
-        detail[f"compute40k_{kind}{bits}_vs_rtx3060ti"] = round(base / ms, 4)
+        metrics.append((
+            f"compute40k_{kind}{bits}",
+            lambda kind=kind, bits=bits:
+                P.compute_jit(img4k, kps_j, valid, bits, kind, 1.0, True),
+            2, base))
 
     # detectAndCompute, 40k keypoints, 4K, all four descriptors
     # (README.md:66-71); BAD-256 is the headline metric
@@ -125,24 +119,39 @@ def main():
                      "hash_sift_256": 8.5, "hash_sift_512": 8.9}
     for dt, base in baselines_dac.items():
         dac_cfg = P.FeatureConfig(nfeatures=40000, descriptor_type=dt)
-        dac_ms = perf_ms(
+        metrics.append((
+            f"detect_and_compute_4k_40k_{dt}",
             lambda dac_cfg=dac_cfg: P.detect_and_compute_jit(img4k, dac_cfg),
-            3 if dt == "bad_256" else 1)
-        detail[f"detect_and_compute_4k_40k_{dt}_ms"] = round(dac_ms, 2)
-        detail[f"detect_and_compute_4k_40k_{dt}_vs_rtx3060ti"] = round(
-            base / dac_ms, 4)
-        if dt == "bad_256":
-            ms = dac_ms
+            2, base))
 
     # steady-state streaming frame time (donated buffers; the reference's
     # DeviceBuffer reuse analogue) on FHD detect+compute+match
     from samples.sample_image_sequence import streaming_step_fn
-    step, state = streaming_step_fn(P.FeatureConfig(
+    step, _state = streaming_step_fn(P.FeatureConfig(
         nfeatures=4000, descriptor_type="bad_256"), sizes["fhd"])
     frame = images["fhd"]
-    sms = perf_ms(lambda: step(frame), 5)
-    detail["streaming_fhd_frame_ms"] = round(sms, 2)
+    metrics.append(("streaming_fhd_frame", lambda: step(frame), 3, None))
 
+    # compile + warm everything, then three interleaved measurement passes
+    for _, fn, _, _ in metrics:
+        read(fn())
+    best = {key: float("inf") for key, _, _, _ in metrics}
+    for _pass in range(3):
+        for key, fn, iters, _ in metrics:
+            best[key] = min(best[key], time_once(fn, iters))
+
+    ms_mm = best["hw_mm"]
+    detail["hw_bf16_tflops"] = round(2 * 4096 ** 3 / (ms_mm / 1e3) / 1e12, 2)
+    ms_ew = best["hw_ew"]
+    detail["hw_hbm_gbps"] = round(2 * big.size * 4 / (ms_ew / 1e3) / 1e9, 1)
+    for key, _, _, base in metrics:
+        if key.startswith("hw_"):
+            continue
+        detail[f"{key}_ms"] = round(best[key], 2)
+        if base is not None:
+            detail[f"{key}_vs_rtx3060ti"] = round(base / best[key], 4)
+
+    ms = best["detect_and_compute_4k_40k_bad_256"]
     baseline_ms = 7.2
     vs = baseline_ms / ms
 
