@@ -188,3 +188,25 @@ def test_convert_roundtrip_without_cv2(img):
     assert hasattr(k0, "pt") and hasattr(k0, "angle")
     xysa = _keypoints_to_xysa(lst)
     np.testing.assert_allclose(xysa, kps.xysa(), rtol=0, atol=0)
+
+
+def test_streaming_step_donated_state(img):
+    """streaming_step_fn: donated-state step runs, matches consecutive
+    frames, and keeps its state buffers fresh."""
+    import sys
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "samples"))
+    from sample_image_sequence import streaming_step_fn
+    from efficient_features_tpu import pipeline as P
+
+    cfg = P.FeatureConfig(nfeatures=300, nlevels=3,
+                          descriptor_type="bad_256")
+    step, state = streaming_step_fn(cfg, img.shape)
+    c1, m1 = step(img)
+    assert int(np.asarray(m1)) == 0            # empty prev state
+    c2, m2 = step(img)                         # identical frame
+    n1, n2 = int(np.asarray(c1)), int(np.asarray(c2))
+    nm = int(np.asarray(m2))
+    assert n1 == n2 > 50
+    assert nm > 0.9 * n1                       # same frame: almost all match
