@@ -63,6 +63,9 @@ def main():
         read(out)
         return (time.perf_counter() - t0) * 1e3 / iters
 
+    detail = {"backend": jax.default_backend(),
+              "device": str(jax.devices()[0])}
+
     # ------------------------------------------------------------------
     # Metric registry.  The dev chip is time-shared with 5-10x share swings
     # on a minutes scale, so each metric is measured once per PASS and the
