@@ -31,6 +31,8 @@ from test_kernels import (  # noqa: F401
     test_warp_window_kernel_exact,
     test_ic_window_kernel_exact,
     test_bad_window_kernel_100k_chunked,
+    test_fast_harris_nms_cells_selection_exact,
+    test_fast_harris_nms_cells_tie_fallback,
 )
 
 pytestmark = pytest.mark.tpu
