@@ -36,9 +36,8 @@ def real_img(request):
 
 @pytest.fixture(scope="module")
 def detected(real_img):
-    # the reference detects up to 100k keypoints (descriptor_test.cpp:28);
-    # the montage yields several thousand at default thresholds
-    quota = 100_000 if real_img.shape[0] < 700 else 20_000
+    # the reference detects up to 100k keypoints (descriptor_test.cpp:28)
+    quota = 100_000
     feat = EfficientFeatures(nfeatures=quota)
     kps = feat.detect(real_img)
     arr = kps.xysa()

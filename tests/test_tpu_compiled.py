@@ -67,3 +67,25 @@ def test_detect_pipeline_compiled_bit_exact_real_image():
     np.testing.assert_array_equal(slots["response"][m], oracle.response)
     d = np.abs(slots["angle"][m] - oracle.angle)
     assert np.minimum(d, 360 - d).max() < 1e-3
+
+
+def test_bad_100k_keypoints_compiled():
+    """The reference's own test scale (100k keypoints,
+    descriptor_test.cpp:28) through the chunked window kernel, compiled."""
+    from efficient_features_tpu import BAD
+    from efficient_features_tpu.cpu import descriptors as DC
+
+    photo = np.asarray(Image.open(os.path.join(DATA, "real_photo.png")))
+    rng = np.random.default_rng(12)
+    n = 100_000
+    kp = np.stack([
+        rng.uniform(0, photo.shape[1], n).astype(np.float32),
+        rng.uniform(0, photo.shape[0], n).astype(np.float32),
+        np.full(n, 31.0, np.float32),
+        rng.uniform(-1, 360, n).astype(np.float32)], axis=1)
+    got = BAD(1.0, 256).compute(photo, kp)
+    assert got.shape == (n, 32)
+    sub = slice(49_000, 50_000)   # spans a 16384-chunk boundary region
+    want = DC.bad_descriptors(photo, kp[sub, 0], kp[sub, 1], kp[sub, 2],
+                              kp[sub, 3], nbits=256)
+    assert (got[sub] != want).sum() <= max(8, int(2e-5 * want.size))
