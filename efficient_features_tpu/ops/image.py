@@ -221,12 +221,13 @@ def resize_u8_fast(src: jax.Array, dst_hw: tuple[int, int]) -> jax.Array:
 
 
 def _use_pallas_resize() -> bool:
-    # opt-in: combining all 7 pyramid resize kernels with the detect kernels
-    # in one 4K jit produced a pathological (>10 min) XLA compile on the dev
-    # toolchain, and the measured runtime gain there was nil (the tiled
-    # kernel wins on HBM traffic, which the dev chip did not reward in the
-    # sessions measured).  The kernel stays fully tested (interpret +
-    # compiled -m tpu tier) and can be enabled per-run.
+    # opt-in: with the round-1 dense-topk pipeline, combining all 7 resize
+    # kernels with the detect kernels in one 4K jit hit a >10-min XLA
+    # compile; with the cell-reduced pipeline it compiles in ~80 s but
+    # measures runtime-parity with the XLA gathers on the dev chip (both
+    # are HBM-bound there; on healthy HBM both are sub-ms).  Kept opt-in to
+    # hold detect compile times down; fully tested either way (interpret +
+    # compiled -m tpu tier).
     import os
     return (jax.default_backend() == "tpu"
             and os.environ.get("EFF_TPU_PALLAS_RESIZE", "0") == "1")
