@@ -120,8 +120,10 @@ def _bad_kernel(by_ref, bx_ref, meta_ref, nstart_ref,
     br = par[4:5, :]
     thv = par[5:6, :]
 
-    cw = 128                              # compacted window: 64 rows x 128
-    ch = 64                               # cols (boxes reach <= +-31 of kp)
+    cw = 64                               # compacted window: 64 rows x 64
+    ch = 64                               # cols (box corners stay within
+                                          # +-24 of the keypoint, clamps
+                                          # included — see _warp_kernel)
     rows_t = jax.lax.broadcasted_iota(jnp.int32, (ch, nbits), 0)
     cols_t = jax.lax.broadcasted_iota(jnp.int32, (cw, nbits), 0)
     pr = jax.lax.broadcasted_iota(jnp.int32, (nbits, nbits // 8), 0)
@@ -171,9 +173,11 @@ def _bad_kernel(by_ref, bx_ref, meta_ref, nstart_ref,
         oy = by_ref[idx]
         ox = bx_ref[idx]
         # window compaction (see _warp_kernel): rotate the keypoint to
-        # (row 32, col 64) and keep 64x128 — all box ranges and image-bound
-        # clamps of valid keypoints stay inside the sub-window
-        shift_x = jnp.floor(kx).astype(jnp.int32) - ox - 64
+        # (row 32, col 32) and keep 64x64 — every box corner, image-bound
+        # clamps included, stays within +-24 of the keypoint (clamping pulls
+        # corners toward the keypoint), halving the cc factor build and the
+        # matmul contraction vs the round-1 128-column slab
+        shift_x = jnp.floor(kx).astype(jnp.int32) - ox - 32
         shift_y = jnp.floor(ky).astype(jnp.int32) - oy - 32
         oxc = ox + shift_x
         oyc = oy + shift_y
