@@ -180,6 +180,11 @@ def select_topk(resp: jax.Array, survivor: jax.Array, quota: int,
     via lax.cond — the capped path is therefore bit-exact for every input.
     """
     h, w = resp.shape
+    # canonicalize -0.0 -> +0.0: XLA sorts f32 by TOTAL order (+0 > -0)
+    # while the numpy oracle's lexsort treats them equal; mixed-sign zero
+    # ties would order differently.  (The Harris formulation never produces
+    # -0.0; this keeps the selection contract exact for arbitrary inputs.)
+    resp = jnp.where(resp == 0, jnp.float32(0.0), resp)
     masked = jnp.where(survivor, resp, RESP_SENTINEL).reshape(-1)
     n = h * w
     quota = min(quota, n)
@@ -285,6 +290,8 @@ def select_topk_cells(cellmax, cellrow, cellcnt, h, w, quota,
     n = h * w
     quota = min(quota, n)
     big = jnp.int32(2147483647)
+    # -0.0 canonicalization (see select_topk)
+    cellmax = jnp.where(cellmax == 0, jnp.float32(0.0), cellmax)
     cm = cellmax[:, :w]
     cr = cellrow[:, :w]
     cc = cellcnt[:, :w]

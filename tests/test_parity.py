@@ -301,3 +301,37 @@ def test_topk_block_reduced_path_exact():
     got = np.asarray(jys)[:nn].astype(np.int64) * w + np.asarray(jxs)[:nn]
     np.testing.assert_array_equal(got, oidx)
     np.testing.assert_array_equal(np.asarray(jr)[:nn], ovals)
+
+
+def test_topk_strategies_fuzz():
+    """All select_topk strategies (flat, chunked, NMS-capped, 8x8
+    block-reduced) must agree with the lexsort oracle on randomized maps
+    with adversarial ties."""
+    rng = np.random.default_rng(33)
+
+    def oracle(resp, surv, quota):
+        flat = np.where(surv, resp, -np.inf).reshape(-1)
+        order = np.lexsort((np.arange(flat.size), -flat))[:quota]
+        keep = flat[order] != -np.inf
+        return order[keep], flat[order][keep]
+
+    cases = []
+    for trial in range(6):
+        h, w = int(rng.integers(64, 600)), int(rng.integers(128, 1100))
+        resp = rng.standard_normal((h, w)).astype(np.float32)
+        # quantize to force value ties
+        resp = np.round(resp * 4) / 4
+        surv = rng.random((h, w)) < rng.uniform(0.001, 0.05)
+        quota = int(rng.integers(16, 3000))
+        radius = [None, 5, 12, 15, 30][trial % 5]
+        cases.append((resp, surv, quota, radius))
+    for resp, surv, quota, radius in cases:
+        h, w = resp.shape
+        jys, jxs, jr, jv = OD.select_topk(
+            jnp.asarray(resp), jnp.asarray(surv), quota, nms_radius=radius)
+        oidx, ovals = oracle(resp, surv, quota)
+        n = int(np.asarray(jv).sum())
+        assert n == len(oidx), (h, w, quota, radius)
+        got = np.asarray(jys)[:n].astype(np.int64) * w + np.asarray(jxs)[:n]
+        np.testing.assert_array_equal(got, oidx)
+        np.testing.assert_array_equal(np.asarray(jr)[:n], ovals)
