@@ -196,3 +196,54 @@ def test_fast_harris_nms_cells_tie_fallback():
     assert n == len(eys)
     np.testing.assert_array_equal(np.asarray(ys)[:n], eys)
     np.testing.assert_array_equal(np.asarray(xs)[:n], exs)
+
+
+def test_bad_window_kernel_fuzz_extremes():
+    """Randomized edge-case fuzz for the BAD window path: positions at image
+    corners/edges, angles outside [0, 360), sizes up to the window gate."""
+    from efficient_features_tpu.ops.window_kernels import max_window_size
+
+    rng = np.random.default_rng(77)
+    img = make_test_image(260, 340, seed=13)
+    h, w = img.shape
+    n = 96
+    x = rng.uniform(0, w - 1, n).astype(np.float32)
+    y = rng.uniform(0, h - 1, n).astype(np.float32)
+    # force exact corners / edges / fractional-boundary positions
+    x[:8] = [0, w - 1, 0, w - 1, 0.5, w - 1.5, 17.999, 18.0]
+    y[:8] = [0, 0, h - 1, h - 1, 0.5, h - 1.5, 17.999, 18.0]
+    size = rng.uniform(5.0, max_window_size(1.0) - 0.01, n).astype(np.float32)
+    angle = rng.uniform(-3.0, 420.0, n).astype(np.float32)
+    angle[:4] = [-1.0, 0.0, 359.999, 360.0]
+    valid = np.ones(n, bool)
+    for nbits in (256, 512):
+        a = DC.bad_descriptors(img, x, y, size, angle, nbits=nbits)
+        b = np.asarray(WK.bad_descriptors_windows(
+            jnp.asarray(img), jnp.asarray(x), jnp.asarray(y),
+            jnp.asarray(size), jnp.asarray(angle), jnp.asarray(valid),
+            nbits, 1.0))
+        assert (a != b).sum() <= max(4, int(2e-5 * a.size))
+
+
+def test_warp_window_kernel_fuzz_extremes():
+    """Same edge-case fuzz for the patch-warp window path."""
+    from efficient_features_tpu.ops.window_kernels import max_window_size
+
+    rng = np.random.default_rng(78)
+    img = make_test_image(260, 340, seed=14)
+    h, w = img.shape
+    n = 64
+    x = rng.uniform(0, w - 1, n).astype(np.float32)
+    y = rng.uniform(0, h - 1, n).astype(np.float32)
+    x[:4] = [0, w - 1, 0.25, w - 16.5]
+    y[:4] = [0, h - 1, h - 16.5, 0.25]
+    size = rng.uniform(5.0, max_window_size(1.0) - 0.01, n).astype(np.float32)
+    angle = rng.uniform(-3.0, 420.0, n).astype(np.float32)
+    valid = np.ones(n, bool)
+    a = DC.warp_patches(img, x, y, size, angle, 1.0).reshape(n, -1)
+    b = np.asarray(WK.warp_patches_windows(
+        jnp.asarray(img), jnp.asarray(x), jnp.asarray(y), jnp.asarray(size),
+        jnp.asarray(angle), jnp.asarray(valid), 1.0))
+    d = np.abs(a.astype(int) - b.astype(int))
+    assert d.max() <= 1
+    assert (d != 0).mean() < 1e-3
