@@ -162,6 +162,25 @@ class _DescriptorBase:
             windows_ok = ms is not None and ms <= max_window_size(self._scale)
             return P.compute_jit(img, kp_dev, s["valid"], self._nbits,
                                  self._kind, self._scale, windows_ok)
+        if isinstance(keypoints, jax.Array):
+            # device-resident (N, 4) [x, y, size, angle] array: stays on
+            # device (the descriptor-input layout of the reference's device
+            # path); without a static size bound the always-correct gather
+            # path is used — wrap detector output in KeyPoints to get the
+            # window-kernel path
+            if keypoints.ndim != 2 or keypoints.shape[1] != 4:
+                raise ValueError(
+                    "device keypoints must be (N, 4) [x, y, size, angle]")
+            n = int(keypoints.shape[0])
+            if n == 0:
+                return jnp.zeros((0, self.descriptor_size()), jnp.uint8)
+            cap = -(-n // _PAD) * _PAD
+            kp_dev = jnp.pad(keypoints.astype(jnp.float32),
+                             ((0, cap - n), (0, 0)))
+            valid = jnp.arange(cap) < n
+            out = P.compute_jit(img, kp_dev, valid, self._nbits, self._kind,
+                                self._scale, False)
+            return out[:n]
         kp = _keypoints_to_xysa(keypoints)
         n = kp.shape[0]
         if n == 0:

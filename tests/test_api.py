@@ -210,3 +210,15 @@ def test_streaming_step_donated_state(img):
     nm = int(np.asarray(m2))
     assert n1 == n2 > 50
     assert nm > 0.9 * n1                       # same frame: almost all match
+
+
+def test_device_array_keypoints_compute(img):
+    """A device-resident (N, 4) keypoint array computes without host
+    marshalling and matches the host-array path."""
+    from efficient_features_tpu import BAD
+
+    bad = BAD(1.0, 256)
+    kp = np.stack(make_keypoints(*img.shape, 70, seed=12), axis=1)
+    host = bad.compute(img, kp)
+    dev = np.asarray(bad.compute_async(jnp.asarray(img), jnp.asarray(kp)))
+    np.testing.assert_array_equal(host, dev)
