@@ -48,6 +48,9 @@ def _load():
     lib.eff_warp_patches.argtypes = [u8p, c_int, c_int, f32p, c_int, c_float,
                                      u8p]
     lib.eff_patch_sift_responses.argtypes = [u8p, c_int, f32p]
+    lib.eff_detect.argtypes = [u8p, c_int, c_int, i32p, f32p, i32p, c_int,
+                               c_int, c_int, c_int, i32p, f32p, f32p, f32p,
+                               f32p, i32p, f32p, i32p]
     lib.eff_hash_project.argtypes = [f32p, c_int, f32p, c_int, u8p]
     _lib = lib
     return lib
@@ -128,3 +131,43 @@ def hash_sift_descriptors(img: np.ndarray, x, y, size, angle, *, nbits=256,
     out = np.zeros((n, nbits // 8), np.uint8)
     lib.eff_hash_project(responses, n, b, nbits, out)
     return out
+
+
+def detect(img: np.ndarray, *, nfeatures: int = 5000,
+           scale_factor: float = 1.2, nlevels: int = 8,
+           first_level: int = 0, fast_threshold: int = 20,
+           nonmax_radius: int = 15):
+    """Native full multi-scale detect, bit-identical to
+    cpu.reference.detect (x, y, response, octave, size exact; angle within
+    libm-vs-numpy atan2 ULPs).  The reference's own CPU module has no
+    detector; this is the C++ deployment path for the complete pipeline.
+
+    Returns a cpu.reference.DetectResult."""
+    from ..utils import semantics as S
+    from .reference import DetectResult
+
+    lib = _load()
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w = img.shape
+    shapes = np.asarray(
+        S.pyramid_shapes(h, w, scale_factor, nlevels), np.int32)
+    scales = np.asarray(S.pyramid_scales(scale_factor, nlevels), np.float32)
+    quotas_l = S.features_per_level(nfeatures, scale_factor, nlevels)
+    quotas = np.asarray(
+        [min(int(q), int(shapes[s, 0]) * int(shapes[s, 1]))
+         for s, q in enumerate(quotas_l)], np.int32)
+    umax = np.asarray(S.U_MAX, np.int32)
+    cap = int(quotas.sum())
+    x = np.zeros(cap, np.float32)
+    y = np.zeros(cap, np.float32)
+    resp = np.zeros(cap, np.float32)
+    ang = np.zeros(cap, np.float32)
+    octv = np.zeros(cap, np.int32)
+    size = np.zeros(cap, np.float32)
+    counts = np.zeros(nlevels, np.int32)
+    lib.eff_detect(img, h, w, np.ascontiguousarray(shapes), scales, quotas,
+                   nlevels, first_level, fast_threshold, nonmax_radius,
+                   umax, x, y, resp, ang, octv, size, counts)
+    n = int(counts.sum())
+    return DetectResult(x[:n], y[:n], resp[:n], ang[:n], octv[:n], size[:n],
+                        [int(c) for c in counts])

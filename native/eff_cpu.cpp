@@ -326,3 +326,238 @@ void eff_hash_project(const float* responses, int n, const float* b_matrix,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native full detector (multi-scale FAST+Harris+NMS+topk+IC-angle), the
+// C++ deployment path for the complete detect pipeline.  Semantics are
+// bit-identical to cpu/reference.py detect(): fixed-point resize pyramid,
+// FMA-immune quantized Harris, ties-co-survive radius NMS,
+// (response desc, index asc) selection, exact integer IC moments.  The
+// reference's own CPU module (modules/efficient_features) has no detector
+// at all; this exceeds it.
+// ---------------------------------------------------------------------------
+#include <vector>
+#include <cfenv>
+
+namespace {
+
+constexpr int kResizeBits = 11;   // semantics.RESIZE_BITS
+constexpr int kHalfPatch = 15;    // semantics.HALF_PATCH_SIZE
+
+// semantics.resize_axis_coeffs: half-pixel centers, 11-bit quantized weight
+// (numpy round = half-even -> rint under the default FE_TONEAREST).
+inline void resize_axis_coeffs(int dst_n, int src_n, std::vector<int>& i0,
+                               std::vector<int>& i1, std::vector<int>& w1) {
+  i0.resize(dst_n);
+  i1.resize(dst_n);
+  w1.resize(dst_n);
+  const double ratio = static_cast<double>(src_n) / dst_n;
+  for (int i = 0; i < dst_n; ++i) {
+    const double x = (i + 0.5) * ratio - 0.5;
+    const double f0 = std::floor(x);
+    const double f = x - f0;
+    long q = std::lrint(f * (1 << kResizeBits));
+    if (q < 0) q = 0;
+    if (q > (1 << kResizeBits)) q = 1 << kResizeBits;
+    int a = static_cast<int>(f0);
+    int b = a + 1;
+    if (a < 0) a = 0;
+    if (a > src_n - 1) a = src_n - 1;
+    if (b < 0) b = 0;
+    if (b > src_n - 1) b = src_n - 1;
+    i0[i] = a;
+    i1[i] = b;
+    w1[i] = static_cast<int>(q);
+  }
+}
+
+void resize_u8_native(const std::vector<uint8_t>& src, int sh, int sw,
+                      std::vector<uint8_t>& dst, int h, int w) {
+  std::vector<int> x0, x1, wx, y0, y1, wy;
+  resize_axis_coeffs(w, sw, x0, x1, wx);
+  resize_axis_coeffs(h, sh, y0, y1, wy);
+  const int one = 1 << kResizeBits;
+  const int rnd = 1 << (2 * kResizeBits - 1);
+  std::vector<int32_t> hpass(static_cast<size_t>(sh) * w);
+  for (int r = 0; r < sh; ++r) {
+    const uint8_t* row = src.data() + static_cast<size_t>(r) * sw;
+    int32_t* hp = hpass.data() + static_cast<size_t>(r) * w;
+    for (int c = 0; c < w; ++c) {
+      hp[c] = row[x0[c]] * (one - wx[c]) + row[x1[c]] * wx[c];
+    }
+  }
+  dst.assign(static_cast<size_t>(h) * w, 0);
+  for (int r = 0; r < h; ++r) {
+    const int32_t* ra = hpass.data() + static_cast<size_t>(y0[r]) * w;
+    const int32_t* rb = hpass.data() + static_cast<size_t>(y1[r]) * w;
+    uint8_t* out = dst.data() + static_cast<size_t>(r) * w;
+    for (int c = 0; c < w; ++c) {
+      const int32_t acc = ra[c] * (one - wy[r]) + rb[c] * wy[r];
+      out[c] = static_cast<uint8_t>((acc + rnd) >> (2 * kResizeBits));
+    }
+  }
+}
+
+inline float trunc_mantissa(float v, int drop_bits) {
+  uint32_t u;
+  std::memcpy(&u, &v, 4);
+  u &= ~((1u << drop_bits) - 1u);
+  std::memcpy(&v, &u, 4);
+  return v;
+}
+
+// Dense Harris response (valid where the 9x9 support is in-bounds; the
+// detector's 15px border mask guarantees that).
+void harris_native(const std::vector<uint8_t>& img, int h, int w,
+                   std::vector<float>& resp) {
+  const float hs = static_cast<float>(1.0 / (4 * 7 * 255.0));
+  const float s2 = hs * hs;
+  const float k = 3.0f / 64.0f;
+  std::vector<int32_t> gx(static_cast<size_t>(h) * w, 0);
+  std::vector<int32_t> gy(static_cast<size_t>(h) * w, 0);
+  auto at = [&](int y, int x) -> int {
+    if (y < 0 || y >= h || x < 0 || x >= w) return 0;
+    return img[static_cast<size_t>(y) * w + x];
+  };
+  for (int y = 0; y < h; ++y) {
+    for (int x = 0; x < w; ++x) {
+      // _shift2d(a, dy, dx)[y, x] = a[y+dy, x+dx]
+      gx[static_cast<size_t>(y) * w + x] =
+          (at(y + 1, x + 1) + 2 * at(y, x + 1) + at(y - 1, x + 1)) -
+          (at(y + 1, x - 1) + 2 * at(y, x - 1) + at(y - 1, x - 1));
+      gy[static_cast<size_t>(y) * w + x] =
+          (at(y + 1, x - 1) + 2 * at(y + 1, x) + at(y + 1, x + 1)) -
+          (at(y - 1, x - 1) + 2 * at(y - 1, x) + at(y - 1, x + 1));
+    }
+  }
+  resp.assign(static_cast<size_t>(h) * w, 0.0f);
+  for (int y = 0; y < h; ++y) {
+    for (int x = 0; x < w; ++x) {
+      int64_t sxx = 0, sxy = 0, syy = 0;
+      for (int dy = -3; dy <= 3; ++dy) {
+        for (int dx = -3; dx <= 3; ++dx) {
+          const int yy = y + dy, xx = x + dx;
+          if (yy < 0 || yy >= h || xx < 0 || xx >= w) continue;
+          const int64_t a = gx[static_cast<size_t>(yy) * w + xx];
+          const int64_t b = gy[static_cast<size_t>(yy) * w + xx];
+          sxx += a * a;
+          sxy += a * b;
+          syy += b * b;
+        }
+      }
+      const float fxx = trunc_mantissa(s2 * static_cast<float>(sxx), 12);
+      const float fxy = trunc_mantissa(s2 * static_cast<float>(sxy), 12);
+      const float fyy = trunc_mantissa(s2 * static_cast<float>(syy), 12);
+      const float tr = trunc_mantissa(fxx + fyy, 13);
+      resp[static_cast<size_t>(y) * w + x] =
+          (fxx * fyy - fxy * fxy) - k * (tr * tr);
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Full multi-scale detect.  level_hw: (nlevels, 2) int32 pyramid shapes
+// (level 0 = input); scales/quotas per level from utils/semantics; umax:
+// 17-entry IC table.  Outputs are level-major with per-level counts;
+// capacity of the output arrays must be >= sum(quotas).
+void eff_detect(const uint8_t* img, int h, int w, const int32_t* level_hw,
+                const float* scales, const int32_t* quotas, int nlevels,
+                int first_level, int fast_threshold, int nonmax_radius,
+                const int32_t* umax, float* out_x, float* out_y,
+                float* out_resp, float* out_ang, int32_t* out_oct,
+                float* out_size, int32_t* counts) {
+  std::vector<std::vector<uint8_t>> levels(nlevels);
+  levels[0].assign(img, img + static_cast<size_t>(h) * w);
+  for (int s = 1; s < nlevels; ++s) {
+    resize_u8_native(levels[s - 1], level_hw[2 * (s - 1)],
+                     level_hw[2 * (s - 1) + 1], levels[s], level_hw[2 * s],
+                     level_hw[2 * s + 1]);
+  }
+
+  const int r2 = static_cast<int>(
+      std::ceil(static_cast<double>(nonmax_radius) * nonmax_radius));
+  size_t outpos = 0;
+  for (int s = 0; s < nlevels; ++s) {
+    counts[s] = 0;
+    if (s < first_level) continue;
+    const int lh = level_hw[2 * s], lw = level_hw[2 * s + 1];
+    const std::vector<uint8_t>& lv = levels[s];
+    std::vector<uint8_t> corner(static_cast<size_t>(lh) * lw, 0);
+    eff_fast_mask(lv.data(), lh, lw, fast_threshold, corner.data());
+    // border mask [15, dim-15)
+    if (lh <= 2 * kHalfPatch || lw <= 2 * kHalfPatch) continue;
+    std::vector<float> resp;
+    harris_native(lv, lh, lw, resp);
+
+    // radius NMS (ties co-survive) + candidate collection
+    struct Cand { float r; int64_t idx; };
+    std::vector<Cand> cands;
+    for (int y = kHalfPatch; y < lh - kHalfPatch; ++y) {
+      for (int x = kHalfPatch; x < lw - kHalfPatch; ++x) {
+        if (!corner[static_cast<size_t>(y) * lw + x]) continue;
+        const float rv = resp[static_cast<size_t>(y) * lw + x];
+        bool keep = true;
+        for (int dy = -nonmax_radius; keep && dy <= nonmax_radius; ++dy) {
+          const int yy = y + dy;
+          if (yy < kHalfPatch || yy >= lh - kHalfPatch) continue;
+          for (int dx = -nonmax_radius; dx <= nonmax_radius; ++dx) {
+            const int d2 = dy * dy + dx * dx;
+            if (d2 == 0 || d2 >= r2) continue;
+            const int xx = x + dx;
+            if (xx < kHalfPatch || xx >= lw - kHalfPatch) continue;
+            if (!corner[static_cast<size_t>(yy) * lw + xx]) continue;
+            if (resp[static_cast<size_t>(yy) * lw + xx] > rv) {
+              keep = false;
+              break;
+            }
+          }
+        }
+        if (keep) {
+          cands.push_back({rv, static_cast<int64_t>(y) * lw + x});
+        }
+      }
+    }
+    std::sort(cands.begin(), cands.end(), [](const Cand& a, const Cand& b) {
+      if (a.r != b.r) return a.r > b.r;
+      return a.idx < b.idx;
+    });
+    const int q = quotas[s];
+    const int n = static_cast<int>(
+        std::min<size_t>(cands.size(), static_cast<size_t>(q)));
+    const float sc = scales[s];
+    for (int i = 0; i < n; ++i) {
+      const int y = static_cast<int>(cands[i].idx / lw);
+      const int x = static_cast<int>(cands[i].idx % lw);
+      // IC angle: exact integer moments over the umax disc
+      int64_t m10 = 0, m01 = 0;
+      for (int dy = -kHalfPatch; dy <= kHalfPatch; ++dy) {
+        const int d = umax[dy < 0 ? -dy : dy];
+        for (int dx = -d; dx <= d; ++dx) {
+          const int64_t v = lv[static_cast<size_t>(y + dy) * lw + (x + dx)];
+          m10 += v * dx;
+          m01 += v * dy;
+        }
+      }
+      float ang = std::atan2(static_cast<float>(m01),
+                             static_cast<float>(m10));
+      if (ang < 0) ang += 6.2831853071795864769f;
+      ang *= 57.29577951308232f;
+      // scalePoints: short(trunc(scale*x + 0.5))
+      out_x[outpos] = static_cast<float>(
+          static_cast<int16_t>(sc * static_cast<float>(x) + 0.5f));
+      out_y[outpos] = static_cast<float>(
+          static_cast<int16_t>(sc * static_cast<float>(y) + 0.5f));
+      out_resp[outpos] = cands[i].r;
+      out_ang[outpos] = ang;
+      out_oct[outpos] = s;
+      out_size[outpos] = sc * 31.0f;
+      ++outpos;
+    }
+    counts[s] = n;
+  }
+}
+
+}  // extern "C"

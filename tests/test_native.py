@@ -63,3 +63,34 @@ def test_native_hash_sift_close(nbits):
     # 100k keypoints); with only 60 keypoints the proportional budget rounds
     # to ~0, so give it the reference-rate floor of a few bytes
     assert (a != b).sum() <= max(8, int(1e-4 * a.size))
+
+
+def test_native_detect_bit_exact():
+    """The native C++ full detector matches the oracle bit-for-bit
+    (x, y, response, octave, size; angle within libm atan2 ULPs).  The
+    reference's own CPU module has no detector at all."""
+    for seed, hw, nf in [(20, (300, 400), 1500), (21, (143, 219), 400)]:
+        img = make_test_image(*hw, seed=seed)
+        a = NT.detect(img, nfeatures=nf)
+        b = R.detect(img, nfeatures=nf)
+        assert a.count == b.count
+        np.testing.assert_array_equal(a.x, b.x)
+        np.testing.assert_array_equal(a.y, b.y)
+        np.testing.assert_array_equal(a.response, b.response)
+        np.testing.assert_array_equal(a.octave, b.octave)
+        np.testing.assert_array_equal(a.size, b.size)
+        d = np.abs(a.angle - b.angle)
+        assert np.minimum(d, 360 - d).max() < 1e-3
+
+
+def test_native_detect_real_photo():
+    import os
+    from PIL import Image
+
+    photo = np.asarray(Image.open(
+        os.path.join(os.path.dirname(__file__), "data", "real_photo.png")))
+    a = NT.detect(photo, nfeatures=2000)
+    b = R.detect(photo, nfeatures=2000)
+    assert a.count == b.count > 300
+    np.testing.assert_array_equal(a.x, b.x)
+    np.testing.assert_array_equal(a.response, b.response)
