@@ -163,18 +163,6 @@ def reflect101_index(idx: np.ndarray, n: int) -> np.ndarray:
     return np.where(idx >= n, 2 * (n - 1) - idx, idx)
 
 
-def bf16_round(x: np.ndarray) -> np.ndarray:
-    """Round float32 to bfloat16 precision (round-half-even), kept as f32.
-
-    Retained as a documented utility (the warp contract moved to full-f32
-    weights with one-hot MXU gathers; nothing quantizes to bf16 anymore).
-    """
-    x = np.asarray(x, np.float32)
-    i = x.view(np.uint32)
-    rounded = ((i.astype(np.uint64) + 0x7FFF + ((i >> 16) & 1)) >> 16) << 16
-    return rounded.astype(np.uint32).view(np.float32)
-
-
 def disc_offsets(radius: int) -> list[tuple[int, int]]:
     """Offsets (dy, dx) with 0 < dy*dy+dx*dx < ceil(radius**2).
 

@@ -34,17 +34,6 @@ inline bool any_run9(uint32_t m) {
   return acc != 0;
 }
 
-// round-half-even f32 -> bf16 (kept in f32), mirroring semantics.bf16_round
-inline float bf16_round(float x) {
-  uint32_t i;
-  std::memcpy(&i, &x, 4);
-  uint32_t r = i + 0x7FFFu + ((i >> 16) & 1u);
-  r &= 0xFFFF0000u;
-  float out;
-  std::memcpy(&out, &r, 4);
-  return out;
-}
-
 struct Affine {
   float s, cost, sint, m02, m12;
 };
@@ -545,11 +534,13 @@ void eff_detect(const uint8_t* img, int h, int w, const int32_t* level_hw,
                              static_cast<float>(m10));
       if (ang < 0) ang += 6.2831853071795864769f;
       ang *= 57.29577951308232f;
-      // scalePoints: short(trunc(scale*x + 0.5))
-      out_x[outpos] = static_cast<float>(
-          static_cast<int16_t>(sc * static_cast<float>(x) + 0.5f));
-      out_y[outpos] = static_cast<float>(
-          static_cast<int16_t>(sc * static_cast<float>(y) + 0.5f));
+      // scalePoints: short(trunc(scale*x + 0.5)); go through int32 so the
+      // int16 narrowing has defined wraparound matching numpy's cast (a
+      // direct float->int16 conversion is UB for values >= 32768)
+      out_x[outpos] = static_cast<float>(static_cast<int16_t>(
+          static_cast<int32_t>(sc * static_cast<float>(x) + 0.5f)));
+      out_y[outpos] = static_cast<float>(static_cast<int16_t>(
+          static_cast<int32_t>(sc * static_cast<float>(y) + 0.5f)));
       out_resp[outpos] = cands[i].r;
       out_ang[outpos] = ang;
       out_oct[outpos] = s;

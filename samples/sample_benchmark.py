@@ -54,12 +54,12 @@ def main():
     elif args.benchmark_type == 1:
         fn = lambda: P.detect_jit(img_j, cfg)
     else:
+        # the reference's compute-only protocol: detector keypoints
+        # (sample_benchmark.cpp:125-133).  Multi-octave sizes (up to
+        # 31*1.2^7 ~ 111 at 8 levels) route through the octave-bucketed
+        # window path; KeyPoints input keeps everything device-resident.
         kps = feat.detect(img)
-        xysa = jnp.asarray(kps.xysa())
-        valid = jnp.ones(xysa.shape[0], bool)
-        kind, bits = dtype.rsplit("_", 1)
-        fn = lambda: P.compute_jit(img_j, xysa, valid, int(bits), kind,
-                                   1.0, True)
+        fn = lambda: feat.compute_async(img_j, kps)
 
     read(fn())  # warmup / compile (excluded, like the reference's iter 0)
     t0 = time.perf_counter()

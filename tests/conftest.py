@@ -31,8 +31,10 @@ import jax  # noqa: E402
 if not RUN_TPU:
     jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the suite is dominated by XLA-CPU compiles of the
-# many pipeline signatures; repeat runs drop from ~12 min to ~2 min
-jax.config.update("jax_compilation_cache_dir", "/tmp/eff_tpu_xla_cache")
+# many pipeline signatures; repeat runs drop from ~12 min to ~2 min.
+# Keyed by backend so the TPU tier and the CPU mesh never share AOT artifacts.
+jax.config.update("jax_compilation_cache_dir",
+                  "/tmp/eff_tpu_xla_cache/" + ("tpu" if RUN_TPU else "cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
