@@ -45,8 +45,12 @@ def main():
 
     # persistent compile cache: the bench compiles ~10 large pipeline
     # signatures (minutes each on the tunneled dev toolchain); cached
-    # executables make repeat runs start in seconds
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.xla_cache")
+    # executables make repeat runs start in seconds.  Keyed by backend
+    # platform (shared scheme with __graft_entry__._enable_compile_cache).
+    import os
+    here = os.path.dirname(os.path.abspath(__file__))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(here, ".xla_cache", jax.default_backend()))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp
@@ -115,6 +119,75 @@ def main():
             lambda kind=kind, bits=bits:
                 P.compute_jit(img4k, kps_j, valid, bits, kind, 1.0, True),
             2, base))
+
+    # compute-only on DETECTOR keypoints (the reference's compute protocol,
+    # sample_benchmark.cpp:125-133): multi-octave sizes (31..111 at 8 levels)
+    # through the octave-bucketed window kernels
+    from efficient_features_tpu.ops import window_kernels as WKm
+    det40 = P.FeatureConfig(nfeatures=40000, descriptor_type="bad_256")
+    slots40 = P.detect_jit(img4k, det40)
+    kp40 = jnp.stack([slots40["x"], slots40["y"], slots40["size"],
+                      slots40["angle"]], axis=1).astype(jnp.float32)
+    valid40 = slots40["valid"]
+    br40 = tuple(
+        (a, b, (WKm.bucket_scale(sz / 32.0)
+                if sz / 32.0 <= WKm._S_CAP else None))
+        for (a, b, sz) in P.level_slot_ranges(det40, *sizes["4k"]))
+    for kind, base in (("bad", 1.5), ("hash_sift", 3.5)):
+        metrics.append((
+            f"compute40k_detected_{kind}256",
+            lambda kind=kind: P.compute_bucketed_jit(
+                img4k, kp40, valid40, 256, kind, 1.0, br40),
+            2, base))
+
+    # A/B: round-1-style per-program window DMA vs round-2 persistent
+    # windows (same synthetic 40k size-31 keypoints; direct kernel calls so
+    # both sides share the un-sort gather)
+    kx, ky, ksz, kang = (kps_j[:, 0], kps_j[:, 1], kps_j[:, 2], kps_j[:, 3])
+    for mode in ("group", "program"):
+        metrics.append((
+            f"compute40k_bad256_dma_{mode}",
+            lambda mode=mode: WKm.bad_descriptors_windows(
+                img4k, kx, ky, ksz, kang, valid, 256, 1.0,
+                WKm._S_BASE, mode),
+            2, None))
+
+    # A/B: fused HashSIFT kernel vs the round-2 two-stage path (patch kernel
+    # + XLA histogram); the default compute row uses the fused path
+    import jax as _jax
+
+    @_jax.jit
+    def hs_fused(img, kp, v):
+        d = WKm.hs_desc_windows(img, kp[:, 0], kp[:, 1], kp[:, 2],
+                                kp[:, 3], v, 1.0)
+        return P._hs_from_fused(d, v, 256)
+
+    @_jax.jit
+    def hs_unfused(img, kp, v):
+        patches = WKm.warp_patches_windows(img, kp[:, 0], kp[:, 1],
+                                           kp[:, 2], kp[:, 3], v, 1.0)
+        return P._hs_from_patches(patches, v, 256)
+
+    metrics.append(("compute40k_hs256_fused",
+                    lambda: hs_fused(img4k, kps_j, valid), 2, None))
+    metrics.append(("compute40k_hs256_unfused",
+                    lambda: hs_unfused(img4k, kps_j, valid), 2, None))
+
+    # masked detect (round-2 verdict weak #4: the masked path skips the
+    # fused cell kernel — record the cliff)
+    mask4k = jnp.asarray(np.ones(sizes["4k"], np.uint8))
+    metrics.append(("detect_4k_masked",
+                    lambda: P.detect_masked_jit(img4k, mask4k, det_cfg),
+                    2, None))
+
+    # A/B: Pallas tiled MXU resize vs XLA-gather pyramid (detect 4K/8K)
+    for k in ("4k", "8k"):
+        cfgp = P.FeatureConfig(nfeatures=10000, descriptor_type="bad_256",
+                               pallas_resize=True)
+        metrics.append((
+            f"detect_{k}_pallas_resize",
+            lambda img=images[k], cfgp=cfgp: P.detect_jit(img, cfgp),
+            2, None))
 
     # detectAndCompute, 40k keypoints, 4K, all four descriptors
     # (README.md:66-71); BAD-256 is the headline metric

@@ -37,18 +37,29 @@ class KeyPoints:
     (cuda_efficient_features.h:32-37) plus octave/size.
     """
 
-    def __init__(self, slots: dict, max_size: float | None = None):
+    def __init__(self, slots: dict, max_size: float | None = None,
+                 level_ranges: tuple | None = None):
         self._slots = slots
         self._host = None
         # static upper bound on kp.size, known at trace time for detector
         # output (31 * scale_factor**(nlevels-1)); lets compute() pick the
         # window-kernel path without a device->host size reduction
         self._max_size = max_size
+        # static per-level slot layout ((start, stop, size), ...) from
+        # pipeline.level_slot_ranges: each range holds one pyramid level's
+        # fixed-size keypoints, letting compute() run the octave-bucketed
+        # window kernels with per-level geometry
+        self._level_ranges = level_ranges
 
     @property
     def max_size(self) -> float | None:
         """Static keypoint-size bound (None when unknown, e.g. user slots)."""
         return self._max_size
+
+    @property
+    def level_ranges(self) -> tuple | None:
+        """Static ((start, stop, size), ...) slot layout (detector output)."""
+        return self._level_ranges
 
     def block(self) -> "KeyPoints":
         jax.block_until_ready(self._slots)
@@ -60,6 +71,12 @@ class KeyPoints:
 
     @property
     def count(self) -> int:
+        """Number of valid keypoints.
+
+        WARNING: reads a device scalar, so it SYNCS the device (waits for the
+        whole async chain; ~30 ms host round trip under the axon tunnel).  In
+        async pipelines prefer `capacity` (static) or keep using the slot
+        arrays device-side; call count/len only at the end of a chain."""
         return int(self._slots["count"])
 
     def _compact(self):
@@ -149,6 +166,7 @@ class _DescriptorBase:
         the keypoint SLOTS (invalid slots give zero rows; compact with the
         valid mask, as compute() does).  Host inputs ((N,4) arrays / cv2
         keypoint lists) return compacted (N, bytes) rows as before."""
+        from .ops import window_kernels as WK
         from .ops.window_kernels import max_window_size
         img = _as_u8_image(image)
         if isinstance(keypoints, KeyPoints):
@@ -159,9 +177,20 @@ class _DescriptorBase:
             # static bound decides the kernel path — no device max() stall;
             # unknown bound falls back to the always-correct gather path
             ms = keypoints.max_size
-            windows_ok = ms is not None and ms <= max_window_size(self._scale)
+            if ms is not None and ms <= max_window_size(self._scale):
+                return P.compute_jit(img, kp_dev, s["valid"], self._nbits,
+                                     self._kind, self._scale, True)
+            ranges = keypoints.level_ranges
+            if ranges is not None:
+                # multi-octave detector output: per-level static slot ranges
+                # run the window kernels at their octave-bucket geometry
+                br = tuple(
+                    (a, b, self._bucket_smax(sz)) for (a, b, sz) in ranges)
+                return P.compute_bucketed_jit(img, kp_dev, s["valid"],
+                                              self._nbits, self._kind,
+                                              self._scale, br)
             return P.compute_jit(img, kp_dev, s["valid"], self._nbits,
-                                 self._kind, self._scale, windows_ok)
+                                 self._kind, self._scale, False)
         if isinstance(keypoints, jax.Array):
             # device-resident (N, 4) [x, y, size, angle] array: stays on
             # device (the descriptor-input layout of the reference's device
@@ -185,16 +214,55 @@ class _DescriptorBase:
         n = kp.shape[0]
         if n == 0:
             return jnp.zeros((0, self.descriptor_size()), jnp.uint8)
-        cap = -(-n // _PAD) * _PAD
-        padded = np.zeros((cap, 4), np.float32)
-        padded[:n] = kp
-        valid = np.zeros(cap, bool)
-        valid[:n] = True
-        # window kernels need the descriptor support to fit the 31px margin
-        windows_ok = bool(kp[:, 2].max() <= max_window_size(self._scale))
-        out = P.compute_jit(img, jnp.asarray(padded), jnp.asarray(valid),
-                            self._nbits, self._kind, self._scale, windows_ok)
-        return out[:n]
+        if bool(kp[:, 2].max() <= max_window_size(self._scale)):
+            # every keypoint fits the base window geometry: one call
+            cap = -(-n // _PAD) * _PAD
+            padded = np.zeros((cap, 4), np.float32)
+            padded[:n] = kp
+            valid = np.zeros(cap, bool)
+            valid[:n] = True
+            out = P.compute_jit(img, jnp.asarray(padded), jnp.asarray(valid),
+                                self._nbits, self._kind, self._scale, True)
+            return out[:n]
+        # multi-scale host keypoints: size-sort into octave buckets so each
+        # bucket runs the window kernel at its geometry (oversized buckets
+        # take the gather path inside compute_bucketed_jit)
+        svals = kp[:, 2].astype(np.float64) * self._scale / 32.0
+        kidx = np.zeros(n, np.int64)
+        m = svals > WK._S_BASE
+        kidx[m] = np.ceil(np.log(svals[m] / WK._S_BASE)
+                          / np.log(1.2) - 1e-9).astype(np.int64)
+        kidx[svals > WK._S_CAP] = 1 << 30      # gather bucket, sorts last
+        order = np.argsort(kidx, kind="stable")
+        ranges = []
+        padded_rows = []
+        pos = np.zeros(n, np.int64)            # padded row of each input kp
+        off = 0
+        for k in np.unique(kidx):
+            sel = order[kidx[order] == k]
+            cap = -(-len(sel) // _PAD) * _PAD
+            blk = np.zeros((cap, 4), np.float32)
+            blk[:len(sel)] = kp[sel]
+            padded_rows.append(blk)
+            pos[sel] = off + np.arange(len(sel))
+            smax = (None if k >= (1 << 30)
+                    else round(float(WK._S_BASE) * 1.2 ** int(k), 4))
+            ranges.append((off, off + cap, smax))
+            off += cap
+        padded = np.concatenate(padded_rows, axis=0)
+        valid = np.zeros(off, bool)
+        valid[pos] = True
+        out = P.compute_bucketed_jit(img, jnp.asarray(padded),
+                                     jnp.asarray(valid), self._nbits,
+                                     self._kind, self._scale, tuple(ranges))
+        return jnp.asarray(out)[jnp.asarray(pos)]
+
+    def _bucket_smax(self, size_bound: float):
+        """Static octave-bucket scale bound for keypoints of size <=
+        size_bound (None -> beyond the bucketed window path's cap)."""
+        from .ops import window_kernels as WK
+        s = self._scale * float(size_bound) / 32.0
+        return WK.bucket_scale(s) if s <= WK._S_CAP else None
 
     def descriptor_size(self) -> int:
         return self._nbits // 8
@@ -270,17 +338,34 @@ class EfficientFeatures:
 
     # -- detection ---------------------------------------------------------
 
-    def detect(self, image, mask=None) -> KeyPoints:
-        return self.detect_async(image, mask).block()
+    def detect(self, image, mask=None, mesh=None) -> KeyPoints:
+        return self.detect_async(image, mask, mesh).block()
 
-    def detect_async(self, image, mask=None) -> KeyPoints:
+    def detect_async(self, image, mask=None, mesh=None) -> KeyPoints:
+        """Keypoints for one image.
+
+        mesh (optional jax.sharding.Mesh): row-shard the image (and the
+        whole pyramid) across the mesh's devices — halo exchange over ICI,
+        per-level quota merges by all_gather; byte-identical slots to the
+        single-chip path (parallel/sharding.detect_pyramid_rows_sharded).
+        For images too small for the band halos a ValueError is raised.
+        No reference analogue (the CUDA library is single-GPU)."""
         img = _as_u8_image(image)
+        ranges = P.level_slot_ranges(self._cfg, *img.shape)
+        if mesh is not None:
+            if mask is not None:
+                raise ValueError("mask with mesh= is not supported yet")
+            from .parallel import sharding as SH
+            slots = SH.detect_pyramid_rows_sharded(img, self._cfg, mesh)
+            return KeyPoints(slots, max_size=self._max_kp_size(),
+                             level_ranges=ranges)
         if mask is not None:
             mask = self._as_mask(mask, img.shape)
             return KeyPoints(P.detect_masked_jit(img, mask, self._cfg),
-                             max_size=self._max_kp_size())
+                             max_size=self._max_kp_size(),
+                             level_ranges=ranges)
         return KeyPoints(P.detect_jit(img, self._cfg),
-                         max_size=self._max_kp_size())
+                         max_size=self._max_kp_size(), level_ranges=ranges)
 
     def _max_kp_size(self) -> float:
         """Trace-time bound on detector keypoint sizes (top pyramid level)."""
@@ -293,20 +378,31 @@ class EfficientFeatures:
     def compute_async(self, image, keypoints) -> jax.Array:
         return self._describer().compute_async(image, keypoints)
 
-    def detect_and_compute(self, image, mask=None):
-        kps, desc = self.detect_and_compute_async(image, mask)
+    def detect_and_compute(self, image, mask=None, mesh=None):
+        kps, desc = self.detect_and_compute_async(image, mask, mesh)
         kps.block()
         # compact descriptor rows to valid keypoints
         return kps, np.asarray(desc)[np.asarray(kps._slots["valid"])]
 
-    def detect_and_compute_async(self, image, mask=None):
+    def detect_and_compute_async(self, image, mask=None, mesh=None):
         img = _as_u8_image(image)
+        if mesh is not None:
+            if mask is not None:
+                raise ValueError("mask with mesh= is not supported yet")
+            from .parallel import sharding as SH
+            slots, descs = SH.detect_pyramid_rows_sharded(
+                img, self._cfg, mesh, with_descriptors=True)
+            return KeyPoints(slots, max_size=self._max_kp_size(),
+                             level_ranges=P.level_slot_ranges(
+                                 self._cfg, *img.shape)), descs
         if mask is not None:
             mask = self._as_mask(mask, img.shape)
             slots, descs = P.detect_and_compute_masked_jit(img, mask, self._cfg)
         else:
             slots, descs = P.detect_and_compute_jit(img, self._cfg)
-        return KeyPoints(slots, max_size=self._max_kp_size()), descs
+        return KeyPoints(slots, max_size=self._max_kp_size(),
+                         level_ranges=P.level_slot_ranges(
+                             self._cfg, *img.shape)), descs
 
     def convert(self, keypoints: KeyPoints):
         """KeyPoints -> list of cv2.KeyPoint (reference `convert`,

@@ -74,6 +74,32 @@ def _spatial_weight_matrix():
     return W
 
 
+@functools.lru_cache(maxsize=None)
+def _spatial_weight_core():
+    """(1024, 128) f32 constant for the FUSED HashSIFT kernel: rows = padded
+    interior-pixel index (900 real), cols 0..15 = the CORE spatial bins
+    (r4*4 + c4; edge bins of the 6x6 grid are dropped, as the oracle's core
+    crop does), cols 16.. zero.  Circular orientation bins fold at vote time
+    instead (bin 8 -> 0), so the kernel histogram is exactly the 8x16 core."""
+    W = _spatial_weight_matrix()                              # (900, 36)
+    idx = [(r + 1) * (C_BINS + 2) + (c + 1)
+           for r in range(R_BINS) for c in range(C_BINS)]
+    out = np.zeros((1024, 128), np.float32)
+    out[:900, :R_BINS * C_BINS] = W[:, idx]
+    return out
+
+
+def hs_fused_projection(nbits: int):
+    """(B0, Bp) for the fused-kernel descriptor layout: the kernel emits
+    e[l] = d[(l%16)*8 + l//16] (orientation-major 8x16 core flattened), so
+    the learned projection's columns are permuted to match; B0 is the bias
+    column.  proj = e @ Bp.T + B0 equals the reference GEMM up to f32
+    accumulation order."""
+    B = load_hash_sift_matrix(nbits)                          # (nbits, 129)
+    perm = np.array([1 + (l % 16) * 8 + l // 16 for l in range(128)])
+    return B[:, 0].astype(np.float32), B[:, perm].astype(np.float32)
+
+
 def warp_patches(image: jax.Array, x, y, size, angle,
                  cropping_scale: float, origin=(0, 0),
                  frame_hw=None) -> jax.Array:

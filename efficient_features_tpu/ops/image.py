@@ -48,12 +48,16 @@ def resize_u8(src: jax.Array, dst_hw: tuple[int, int]) -> jax.Array:
     return out.astype(jnp.uint8)
 
 
-def build_pyramid(image: jax.Array, scale_factor: float, nlevels: int) -> list[jax.Array]:
-    """Iterated resize chain; level s from level s-1."""
+def build_pyramid(image: jax.Array, scale_factor: float, nlevels: int,
+                  pallas_resize: bool | None = None) -> list[jax.Array]:
+    """Iterated resize chain; level s from level s-1.
+
+    pallas_resize: force the tiled MXU resize on (True) / off (False);
+    None defers to the environment default (_use_pallas_resize)."""
     shapes = S.pyramid_shapes(image.shape[0], image.shape[1], scale_factor, nlevels)
     levels = [image]
     for s in range(1, nlevels):
-        levels.append(resize_u8_fast(levels[-1], shapes[s]))
+        levels.append(resize_u8_fast(levels[-1], shapes[s], pallas_resize))
     return levels
 
 
@@ -212,10 +216,13 @@ def resize_u8_pallas(src: jax.Array, dst_hw: tuple[int, int]) -> jax.Array:
     return out[:h, :w]
 
 
-def resize_u8_fast(src: jax.Array, dst_hw: tuple[int, int]) -> jax.Array:
+def resize_u8_fast(src: jax.Array, dst_hw: tuple[int, int],
+                   pallas_resize: bool | None = None) -> jax.Array:
     """resize_u8 via the Pallas tile kernel on TPU (bit-identical), XLA
     gathers elsewhere / for tiny levels."""
-    if _use_pallas_resize() and min(dst_hw) >= 16:
+    use = _use_pallas_resize() if pallas_resize is None else (
+        pallas_resize and jax.default_backend() == "tpu")
+    if use and min(dst_hw) >= 16:
         return resize_u8_pallas(src, dst_hw)
     return resize_u8(src, dst_hw)
 

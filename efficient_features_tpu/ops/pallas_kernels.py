@@ -452,10 +452,15 @@ def fast_harris_nms(image: jax.Array, threshold: int, radius: int) -> jax.Array:
 # the dense path, keeping selection bit-exact for every input.
 
 
-def _fast_harris_nms_reduced_kernel(dims_ref, img_hbm, max_ref, row_ref,
-                                    cnt_ref, win_ref, sem, *,
+def _fast_harris_nms_reduced_kernel(dims_ref, *refs,
                                     threshold, radius, tile_h, tile_w,
-                                    halo_y, halo_x):
+                                    halo_y, halo_x, with_mask=False):
+    if with_mask:
+        (img_hbm, mask_hbm, max_ref, row_ref, cnt_ref,
+         win_ref, mwin_ref, sem, msem) = refs
+    else:
+        img_hbm, max_ref, row_ref, cnt_ref, win_ref, sem = refs
+        mask_hbm = mwin_ref = msem = None
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     ph = tile_h + 2 * halo_y
@@ -468,6 +473,13 @@ def _fast_harris_nms_reduced_kernel(dims_ref, img_hbm, max_ref, row_ref,
         img_hbm.at[pl.ds(ti * tile_h, ph), pl.ds(tj * tile_w, pw)],
         win_ref, sem)
     copy.start()
+    if with_mask:
+        # user ROI mask rides the same halo'd window (masked-out corners
+        # must not suppress neighbors, so it applies BEFORE the NMS)
+        mcopy = pltpu.make_async_copy(
+            mask_hbm.at[pl.ds(ti * tile_h, ph), pl.ds(tj * tile_w, pw)],
+            mwin_ref, msem)
+        mcopy.start()
     copy.wait()
 
     win = win_ref[...].astype(jnp.int32)
@@ -529,6 +541,11 @@ def _fast_harris_nms_reduced_kernel(dims_ref, img_hbm, max_ref, row_ref,
     b = S.HALF_PATCH_SIZE
     inb = ((gy_ids >= b) & (gy_ids < true_h - b)
            & (gx_ids >= b) & (gx_ids < true_w - b))
+    if with_mask:
+        mcopy.wait()
+        mok = jax.lax.slice(mwin_ref[...], (oy, ox),
+                            (oy + eh, ox + ew)).astype(jnp.int32) != 0
+        inb = inb & mok
     masked = jnp.where(corner & inb, resp, NEG_INF)
 
     pows = {1: masked}
@@ -578,13 +595,18 @@ def _fast_harris_nms_reduced_kernel(dims_ref, img_hbm, max_ref, row_ref,
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
-def fast_harris_nms_cells(image: jax.Array, threshold: int, radius: int):
+def fast_harris_nms_cells(image: jax.Array, threshold: int, radius: int,
+                          mask: jax.Array | None = None):
     """Fused dense detect with cell-reduced output: returns
     (cellmax (ceil8(h)/8, wpad) f32, cellrow (same) i32 global row of the
     lowest maximal survivor, cellcnt (same) i32 survivor count), each cell
     covering 8 image rows x 1 column.  Selection-equivalent to
     fast_harris_nms when every 8x8 block holds <= 1 survivor (the caller
-    checks counts and falls back otherwise)."""
+    checks counts and falls back otherwise).
+
+    `mask` (optional bool (h, w)): user ROI — corners outside it are dropped
+    BEFORE the NMS (they neither survive nor suppress), riding the same
+    halo'd window DMA as the image."""
     h, w = image.shape
     tile_h, tile_w = _tile_dims(h, w)
     gh = -(-h // tile_h)
@@ -593,21 +615,35 @@ def fast_harris_nms_cells(image: jax.Array, threshold: int, radius: int):
     halo_y = -(-need // 8) * 8
     halo_x = 128
     assert halo_x >= need
-    padded = jnp.pad(image, ((halo_y, gh * tile_h - h + halo_y),
-                             (halo_x, gw * tile_w - w + halo_x)))
+    pads = ((halo_y, gh * tile_h - h + halo_y),
+            (halo_x, gw * tile_w - w + halo_x))
+    padded = jnp.pad(image, pads)
     dims = jnp.array([h, w], jnp.int32)
+    with_mask = mask is not None
+    operands = [dims, padded]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    scratch = [pltpu.VMEM((tile_h + 2 * halo_y, tile_w + 2 * halo_x),
+                          jnp.uint8),
+               pltpu.SemaphoreType.DMA]
+    if with_mask:
+        operands.append(jnp.pad(mask.astype(jnp.uint8), pads))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch = scratch[:1] + [
+            pltpu.VMEM((tile_h + 2 * halo_y, tile_w + 2 * halo_x),
+                       jnp.uint8)] + scratch[1:] + [pltpu.SemaphoreType.DMA]
 
     kernel = functools.partial(_fast_harris_nms_reduced_kernel,
                                threshold=threshold, radius=radius,
                                tile_h=tile_h, tile_w=tile_w,
-                               halo_y=halo_y, halo_x=halo_x)
+                               halo_y=halo_y, halo_x=halo_x,
+                               with_mask=with_mask)
     th8 = tile_h // 8
     outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(gh, gw),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((th8, tile_w), lambda i, j, *_: (i, j),
                              memory_space=pltpu.VMEM),
@@ -616,11 +652,7 @@ def fast_harris_nms_cells(image: jax.Array, threshold: int, radius: int):
                 pl.BlockSpec((th8, tile_w), lambda i, j, *_: (i, j),
                              memory_space=pltpu.VMEM),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((tile_h + 2 * halo_y, tile_w + 2 * halo_x),
-                           jnp.uint8),
-                pltpu.SemaphoreType.DMA,
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((gh * th8, gw * tile_w), jnp.float32),
@@ -630,5 +662,5 @@ def fast_harris_nms_cells(image: jax.Array, threshold: int, radius: int):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(dims, padded)
+    )(*operands)
     return outs

@@ -34,6 +34,7 @@ keypoints (size=31, scale<=1); callers fall back to the XLA gather path above
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import numpy as np
 import jax
@@ -49,24 +50,80 @@ WIN_W = 256
 DEG2RAD = np.float32(0.017453292519943295)
 MARGIN = np.float32(1.75)
 
+# Worst-case support radii per unit affine scale s (= scale_arg * size / 32):
+#   BAD: max over the learned boxes of |rot(center - 16)| + boxRadius is
+#        22.2133 (both p256 and p512 assets); transformed corner offsets are
+#        <= s*22.2133 + 0.5 (CV_ROUNDNUM) + s*br rounding 0.5 + 1 (the +1 on
+#        the exclusive corner) — bounded by s*22.2133 + 2.
+#   warp: patch corners are 16*sqrt(2) = 22.63 from the center, +1 for the
+#        right/bottom bilinear pixel.
+_BAD_SUPPORT = 22.2133
+_WARP_SUPPORT = 22.63
+
+# Base geometry gate: affine scale s <= _S_BASE reproduces the round-2
+# fixed 96x256 window / 64x64 compacted-window geometry.
+_S_BASE = 0.9446
+
+
+class WinGeom(NamedTuple):
+    """Static per-keypoint window geometry (all ints, trace-time).
+
+    The DMA window is (win_h, win_w); row origins quantize to 32 so the
+    keypoint row offset lies in [half, half + 32); column origins quantize to
+    128 with offset in [c0, c0 + 128).  The kernel rolls the window so the
+    keypoint sits at (half, half) of a (2*half, 2*half) compacted window that
+    contains the whole descriptor support."""
+    win_h: int
+    win_w: int
+    half: int
+
+    @property
+    def c0(self) -> int:
+        return self.win_w - 128 - self.half
+
+
+def _make_geom(support: float, s_max: float) -> WinGeom:
+    R = int(np.ceil(support * s_max + 2.0))
+    half = max(32, -(-R // 8) * 8)
+    win_h = 2 * half + 32
+    win_w = 128 * (-(-(2 * half + 128) // 128))
+    return WinGeom(win_h, win_w, half)
+
+
+def bad_geom(s_max: float) -> WinGeom:
+    """Window geometry covering BAD boxes of keypoints with affine scale
+    <= s_max.  bad_geom(_S_BASE) == the round-2 (96, 256, 32) geometry."""
+    return _make_geom(_BAD_SUPPORT, s_max)
+
+
+def warp_geom(s_max: float) -> WinGeom:
+    """Window geometry covering the 32x32 patch warp at affine scale
+    <= s_max."""
+    return _make_geom(_WARP_SUPPORT, s_max)
+
+
+_BASE_GEOM = bad_geom(_S_BASE)
+assert _BASE_GEOM == WinGeom(96, 256, 32), _BASE_GEOM
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def plan_windows(x: jax.Array, y: jax.Array, img_h: int, img_w: int):
+def plan_windows(x: jax.Array, y: jax.Array, img_h: int, img_w: int,
+                 geom: WinGeom = _BASE_GEOM):
     """Aligned window origins per keypoint + padded image dims.
 
-    Row origins quantize to 32 (not the round-1 8): the BAD row support is
-    keypoint +-24 px, so a 96-row window with the keypoint row at offset
-    [32, 64) always covers it, and 4x fewer distinct windows exist at high
-    keypoint density — one window DMA now serves ~4x more keypoints."""
-    pad_h = max(-(-img_h // 8) * 8, WIN_H)
-    pad_w = max(-(-img_w // 128) * 128, WIN_W)
+    Row origins quantize to 32 (not the round-1 8): the keypoint row offset
+    lands in [half, half+32) of a (2*half+32)-row window, and 4x fewer
+    distinct windows exist at high keypoint density — one window DMA serves
+    ~4x more keypoints."""
+    pad_h = max(-(-img_h // 8) * 8, geom.win_h)
+    pad_w = max(-(-img_w // 128) * 128, geom.win_w)
     xi = jnp.floor(x).astype(jnp.int32)
     yi = jnp.floor(y).astype(jnp.int32)
-    base_y = jnp.clip(((yi - 32) // 32) * 32, 0, pad_h - WIN_H)
-    base_x = jnp.clip(((xi - 96) // 128) * 128, 0, pad_w - WIN_W)
+    base_y = jnp.clip(((yi - geom.half) // 32) * 32, 0, pad_h - geom.win_h)
+    base_x = jnp.clip(((xi - geom.c0) // 128) * 128, 0, pad_w - geom.win_w)
     return base_y, base_x, pad_h, pad_w
 
 
@@ -76,8 +133,33 @@ def pad_image(image: jax.Array, pad_h: int, pad_w: int) -> jax.Array:
 
 
 def max_window_size(scale: float) -> float:
-    """Largest keypoint `size` the 31px window margin supports."""
+    """Largest keypoint `size` the BASE window geometry supports (the
+    single-geometry fast path; larger sizes take the octave-bucketed
+    geometries up to `max_bucketed_size`)."""
     return 29.0 * 32.0 / (30.7 * max(scale, 1e-6))
+
+
+# Octave buckets: bucket k covers affine scale s in (_S_BASE*1.2^(k-1),
+# _S_BASE*1.2^k]; the ceiling keeps compile count and window DMA bounded
+# (beyond it, the always-correct XLA gather path).
+_S_CAP = 6.0
+
+
+def max_bucketed_size(scale: float) -> float:
+    """Largest keypoint `size` the octave-bucketed window path supports."""
+    return _S_CAP * 32.0 / max(scale, 1e-6)
+
+
+def bucket_scale(s: float) -> float:
+    """Round an affine-scale bound up to its bucket's s_max (stable static
+    values -> bounded number of jit traces / kernel geometries)."""
+    if s <= _S_BASE:
+        return _S_BASE
+    # the 1e-3 slack absorbs the 4-decimal rounding of a previous
+    # bucket_scale (idempotence) — a bound understated by <= 0.1% costs
+    # < 0.1 px of the geometry's 2 px margin
+    k = int(np.ceil(np.log(s / _S_BASE) / np.log(1.2) - 1e-3))
+    return round(_S_BASE * 1.2 ** k, 4)
 
 
 def _pad_n(arrs, kpb):
@@ -107,7 +189,8 @@ _BAD_KPB = 32
 
 def _bad_kernel(by_ref, bx_ref, meta_ref, nstart_ref,
                 kp_ref, par_ref, img_hbm, out_ref, win_ref, sem, *,
-                nbits, scale_factor, img_w, img_h):
+                nbits, scale_factor, img_w, img_h,
+                win_h=96, win_w=256, half=32, wide_boxes=False):
     # SMEM budget is 1MB: only the DMA-addressing arrays ride scalar
     # prefetch (by, bx, meta = slot|start<<1, nstart); keypoint params come
     # in as a per-program VMEM block.
@@ -120,10 +203,10 @@ def _bad_kernel(by_ref, bx_ref, meta_ref, nstart_ref,
     br = par[4:5, :]
     thv = par[5:6, :]
 
-    cw = 64                               # compacted window: 64 rows x 64
-    ch = 64                               # cols (box corners stay within
-                                          # +-24 of the keypoint, clamps
-                                          # included — see _warp_kernel)
+    cw = 2 * half                         # compacted window: keypoint rotated
+    ch = 2 * half                         # to its center; every box corner,
+                                          # image-bound clamps included, stays
+                                          # within +-half (see bad_geom)
     rows_t = jax.lax.broadcasted_iota(jnp.int32, (ch, nbits), 0)
     cols_t = jax.lax.broadcasted_iota(jnp.int32, (cw, nbits), 0)
     pr = jax.lax.broadcasted_iota(jnp.int32, (nbits, nbits // 8), 0)
@@ -133,8 +216,8 @@ def _bad_kernel(by_ref, bx_ref, meta_ref, nstart_ref,
 
     def get_dma(slot, idx):
         return pltpu.make_async_copy(
-            img_hbm.at[pl.ds(pl.multiple_of(by_ref[idx], 8), WIN_H),
-                       pl.ds(pl.multiple_of(bx_ref[idx], 128), WIN_W)],
+            img_hbm.at[pl.ds(pl.multiple_of(by_ref[idx], 8), win_h),
+                       pl.ds(pl.multiple_of(bx_ref[idx], 128), win_w)],
             win_ref.at[slot], sem.at[slot])
 
     # Keypoints arrive sorted by window origin: ONE DMA per DISTINCT window
@@ -173,12 +256,12 @@ def _bad_kernel(by_ref, bx_ref, meta_ref, nstart_ref,
         oy = by_ref[idx]
         ox = bx_ref[idx]
         # window compaction (see _warp_kernel): rotate the keypoint to
-        # (row 32, col 32) and keep 64x64 — every box corner, image-bound
-        # clamps included, stays within +-24 of the keypoint (clamping pulls
-        # corners toward the keypoint), halving the cc factor build and the
-        # matmul contraction vs the round-1 128-column slab
-        shift_x = jnp.floor(kx).astype(jnp.int32) - ox - 32
-        shift_y = jnp.floor(ky).astype(jnp.int32) - oy - 32
+        # (row half, col half) and keep (2*half)x(2*half) — every box corner,
+        # image-bound clamps included, stays within +-half of the keypoint
+        # (clamping pulls corners toward the keypoint), halving the cc factor
+        # build and the matmul contraction vs the round-1 full-width slab
+        shift_x = jnp.floor(kx).astype(jnp.int32) - ox - half
+        shift_y = jnp.floor(ky).astype(jnp.int32) - oy - half
         oxc = ox + shift_x
         oyc = oy + shift_y
         # transformBoxPairParams (cuda_bad.cu:149-157), compacted local coords
@@ -196,13 +279,14 @@ def _bad_kernel(by_ref, bx_ref, meta_ref, nstart_ref,
         hi_x = jnp.int32(img_w) - oxc
 
         win_rot = pltpu.roll(win_ref[slot].astype(jnp.int32),
-                             (WIN_W - shift_x) % WIN_W, 1)
-        win_rot = pltpu.roll(win_rot, (WIN_H - shift_y) % WIN_H, 0)
+                             (win_w - shift_x) % win_w, 1)
+        win_rot = pltpu.roll(win_rot, (win_h - shift_y) % win_h, 0)
         # int8 MXU path (2x the bf16 rate): pixels re-biased to [-128, 127];
         # the -128 bias contributes exactly -128*area to each box sum (every
         # selected cell is biased by -128 and valid box ranges stay inside
         # the compacted sub-window), undone below.  All values stay exact
-        # int32: box sums <= 255*63*63 ~ 1.0e6.
+        # int32: box sums <= 255*side^2 <= 255*(2*rnd(7*s)+1)^2 (< 2^21 even
+        # at the s=6 bucket cap).
         win8 = (jax.lax.slice(win_rot, (0, 0), (ch, cw))
                 - 128).astype(jnp.int8)
 
@@ -228,6 +312,27 @@ def _bad_kernel(by_ref, bx_ref, meta_ref, nstart_ref,
         # reciprocal approximation; see cpu.descriptors.bad_descriptors)
         lhs = (s1i * a2i - s2i * a1i).astype(jnp.float32)
         bit_border = lhs <= thv * (a1i * a2i).astype(jnp.float32)
+        if wide_boxes:
+            # large-box buckets (s >~ 3.2): the int32 cross products can
+            # exceed 2^31; switch per-bit to 12-significant-bit truncated f32
+            # operands whose products are exact — same gate and formulation
+            # as ops.bad.bad_descriptors (bit-identical across paths)
+            a1f = a1i.astype(jnp.float32)
+            a2f = a2i.astype(jnp.float32)
+
+            def t12(v):
+                iv = pltpu.bitcast(v, jnp.int32)
+                return pltpu.bitcast(iv & jnp.int32(~0xFFF), jnp.float32)
+
+            s1t = t12(s1i.astype(jnp.float32))
+            s2t = t12(s2i.astype(jnp.float32))
+            a1t = t12(a1f)
+            a2t = t12(a2f)
+            bit_border_t = (s1t * a2t - s2t * a1t) <= thv * (a1t * a2t)
+            safe = a1f * a2f < np.float32(1 << 22)
+            # Mosaic cannot select between i1 vectors; select on f32
+            bit_border = jnp.where(safe, bit_border.astype(jnp.float32),
+                                   bit_border_t.astype(jnp.float32))
 
         sb = np.float32(scale_factor) * ksize / np.float32(64.0)
         bw = np.float32(32.0) * sb * MARGIN
@@ -269,10 +374,17 @@ def _window_groups(key, kpb):
     n = key.shape[0]
     changed = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), (key[1:] != key[:-1]).astype(jnp.int32)])
-    grp = jnp.cumsum(changed).astype(jnp.int32)
     is_start = (changed == 1) | (jnp.arange(n, dtype=jnp.int32) == 0)
+    return _meta_parts_from_starts(is_start)
+
+
+def _meta_parts_from_starts(is_start):
+    """(grp, is_start, next_start) for an arbitrary DMA-start mask (index 0
+    must be a start).  grp parity alternates per start (double-buffer slot);
+    next_start is the cross-program prefetch target (past-the-end if none)."""
+    n = is_start.shape[0]
+    grp = (jnp.cumsum(is_start.astype(jnp.int32)) - 1).astype(jnp.int32)
     idxs = jnp.where(is_start, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
-    # next_start[j] = min index > j that is a start (or n, past the end)
     suffix_min = jnp.flip(jax.lax.cummin(jnp.flip(idxs)))
     next_start = jnp.concatenate(
         [suffix_min[1:], jnp.full(1, n, jnp.int32)])
@@ -298,12 +410,23 @@ def _chunked(fn, n_args, chunk=_MAX_KP_CHUNK):
     return wrapper
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7))
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9),
+                   static_argnames=("s_max", "dma_mode"))
 def _bad_descriptors_windows_impl(image, x, y, size, angle, valid,
-                                  nbits: int, scale_factor: float):
-    """(N, nbits//8) uint8 BAD descriptors via the window kernel; exact."""
+                                  nbits: int, scale_factor: float,
+                                  s_max: float = _S_BASE,
+                                  dma_mode: str = "group"):
+    """(N, nbits//8) uint8 BAD descriptors via the window kernel; exact.
+
+    `s_max` (static): upper bound on the affine scale scale_factor*size/32 of
+    the keypoints — selects the bucket window geometry (see bad_geom).
+    `dma_mode` (static): "group" = one DMA per distinct window, persisting
+    across programs (round-2 default); "program" additionally re-DMAs at
+    every program start (the round-1 behavior, kept for same-session A/B —
+    see BENCH_DETAIL dma_ab)."""
     h, w = image.shape
-    base_y, base_x, pad_h, pad_w = plan_windows(x, y, h, w)
+    geom = bad_geom(s_max)
+    base_y, base_x, pad_h, pad_w = plan_windows(x, y, h, w, geom)
     padded = pad_image(image, pad_h, pad_w)
 
     order = jnp.argsort(_window_key(base_y, base_x, pad_w))
@@ -311,7 +434,17 @@ def _bad_descriptors_windows_impl(image, x, y, size, angle, valid,
     (by, bx, kx, ky, ks, ka), n_pad, n = _pad_n(srt, _BAD_KPB)
     # group bookkeeping on the PADDED arrays so every started DMA is awaited
     # (the zero-padded tail forms its own final group)
-    grp, start, nstart = _window_groups(_window_key(by, bx, pad_w), _BAD_KPB)
+    if dma_mode == "program":
+        key = _window_key(by, bx, pad_w)
+        changed = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32),
+             (key[1:] != key[:-1]).astype(jnp.int32)])
+        idx = jnp.arange(n_pad, dtype=jnp.int32)
+        is_start = (changed == 1) | (idx % _BAD_KPB == 0)
+        grp, start, nstart = _meta_parts_from_starts(is_start)
+    else:
+        grp, start, nstart = _window_groups(
+            _window_key(by, bx, pad_w), _BAD_KPB)
     meta = ((grp & 1) | (start << 1)).astype(jnp.int32)
     kp = jnp.stack([kx, ky, ks, ka], axis=1)
 
@@ -324,8 +457,14 @@ def _bad_descriptors_windows_impl(image, x, y, size, angle, valid,
     par[4] = boxes[:, 4]
     par[5] = th
 
+    # wide_boxes: the int32 cross products of the border compare can exceed
+    # 2^31 once side^4 > 2^22 (cf. ops.bad) — only reachable at s >~ 3.2
+    side_max = 2 * int(round(7.0 * s_max)) + 1
     kernel = functools.partial(_bad_kernel, nbits=nbits,
-                               scale_factor=scale_factor, img_w=w, img_h=h)
+                               scale_factor=scale_factor, img_w=w, img_h=h,
+                               win_h=geom.win_h, win_w=geom.win_w,
+                               half=geom.half,
+                               wide_boxes=side_max ** 4 > (1 << 22))
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -342,7 +481,7 @@ def _bad_descriptors_windows_impl(image, x, y, size, angle, valid,
                                    lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, WIN_H, WIN_W), jnp.uint8),
+                pltpu.VMEM((2, geom.win_h, geom.win_w), jnp.uint8),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -704,6 +843,486 @@ def _warp_patches_windows_impl(image, x, y, size, angle, valid,
     return jnp.where(valid[:, None], jnp.take(out[:n], inv, axis=0), 0)
 
 
+# ---------------------------------------------------------------------------
+# FUSED HashSIFT kernel: warp + gradients + histogram + normalize in one pass
+# ---------------------------------------------------------------------------
+# The reference does the whole patch-SIFT in one kernel per keypoint
+# (cuda_hash_sift.cu:380-412: smem patch + smem histogram + warp-reduce
+# normalize); the round-2 TPU path round-tripped a (N, 1024) u8 patch array
+# through HBM and ran the histogram as a separate XLA stage.  This kernel
+# keeps everything in VMEM and emits only the (N, 128) u8 quantized SIFT
+# descriptor (the learned projection GEMM stays in XLA, precision-highest).
+#
+# Gradient trick: the oracle differentiates the QUANTIZED patch
+# (dx = p[y,x+1] - p[y,x-1]), and lane-shifting a patch row is slow on TPU —
+# instead the kernel RECOMPUTES the four neighbor sample grids
+# (R,L,U,D = patch coords (x+-1, y), (x, y-+1)) as extra warped samples.
+# Quantization is deterministic per sample position, so quantize(recomputed
+# sample) == the shifted quantized patch value bit-for-bit; the four grids
+# ride the same exact one-hot MXU gathers as the patch itself (2048-wide
+# sample blocks, two half-passes RL / UD per pair).
+#
+# Mosaic has no atan2: orientation comes from a degree-8 minimax atan
+# polynomial (max |err| 9.7e-8 rad < the 1e-6 budget that keeps histogram
+# bin flips ~1e-6, inside the 1e-4 descriptor-byte budget) with quadrant
+# fixup; divisions use Newton-refined reciprocals (Mosaic f32 divide is a
+# reciprocal approximation).
+
+# atan(t)/t as a polynomial in t^2 on [0, 1] (least-squares on Chebyshev
+# nodes, f64 fit / f32 Horner; max abs error 9.7e-8 rad over [0,1])
+_ATAN_COEF = [np.float32(c) for c in (
+    1.0, -0.33333296, 0.19998543, -0.1426439, 0.10953449,
+    -0.084078744, 0.05804036, -0.031264406, 0.010962384, -0.0018044757)]
+_PI = np.float32(np.pi)
+_HALF_PI = np.float32(np.pi / 2)
+_EPS32 = np.float32(np.finfo(np.float32).eps)
+
+
+def _recip(d):
+    """f32 reciprocal to ~0.5 ulp: two Newton steps on the hardware
+    reciprocal approximation (a no-op wiggle on backends whose divide is
+    already correctly rounded)."""
+    r = np.float32(1.0) / d
+    r = r * (np.float32(2.0) - d * r)
+    r = r * (np.float32(2.0) - d * r)
+    return r
+
+
+def _atan2_poly(yv, xv):
+    """atan2(yv, xv) in (-pi, pi]; |err| <= ~1.5e-7 rad.  yv==xv==0 -> 0."""
+    ax = jnp.abs(xv)
+    ay = jnp.abs(yv)
+    mx = jnp.maximum(ax, ay)
+    mn = jnp.minimum(ax, ay)
+    den = jnp.where(mx == 0, np.float32(1.0), mx)
+    t = mn * _recip(den)
+    s2 = t * t
+    acc = _ATAN_COEF[-1]
+    for c in _ATAN_COEF[-2::-1]:
+        acc = acc * s2 + c
+    z = t * acc
+    z = jnp.where(ay > ax, _HALF_PI - z, z)
+    z = jnp.where(xv < 0, _PI - z, z)
+    return jnp.where(yv < 0, -z, z)
+
+
+def _hs_fused_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref, wsp_ref,
+                     img_hbm, out_ref, win_ref, winbf_ref, sem, *,
+                     cropping_scale, img_w, img_h):
+    """Fused HashSIFT, two keypoints per MXU pass (see module comment)."""
+    i = pl.program_id(0)
+    npx = 1024            # padded interior-pixel grid (900 real)
+
+    def get_dma(slot, idx):
+        return pltpu.make_async_copy(
+            img_hbm.at[pl.ds(pl.multiple_of(by_ref[idx], 8), _WARP_WIN_H),
+                       pl.ds(pl.multiple_of(bx_ref[idx], 128), WIN_W)],
+            win_ref.at[slot], sem.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        get_dma(meta_ref[0] & 1, 0).start()
+
+    def half(pair, j):
+        """DMA bookkeeping + compacted 64-col window block for keypoint j of
+        the pair (identical to _warp_kernel.half, minus the sample grid)."""
+        k = 2 * pair + j
+        idx = i * _WARP_KPB + k
+        meta = meta_ref[idx]
+        slot = meta & 1
+
+        @pl.when((meta >> 1) == 1)
+        def _():
+            nxt = nstart_ref[idx]
+
+            @pl.when(nxt < nstart_ref.shape[0])
+            def _():
+                get_dma(1 - slot, nxt).start()
+
+            get_dma(slot, idx).wait()
+            winbf_ref[slot] = win_ref[slot].astype(
+                jnp.int32).astype(jnp.bfloat16)
+
+        _, cost, sint, m02, m12 = _affine_scalars(
+            kp_ref[k, 0], kp_ref[k, 1], kp_ref[k, 2], kp_ref[k, 3],
+            cropping_scale)
+
+        yi_loc = jnp.floor(kp_ref[k, 1]).astype(jnp.int32) - by_ref[idx]
+        row_off = jnp.clip(((yi_loc - 24) // 8) * 8, 0,
+                           _WARP_WIN_H - _WARP_SLICE_H)
+        win56 = winbf_ref[slot, pl.ds(pl.multiple_of(row_off, 8),
+                                      _WARP_SLICE_H), :]
+        xi_loc = jnp.floor(kp_ref[k, 0]).astype(jnp.int32) - bx_ref[idx]
+        off = jnp.clip(xi_loc - 32, 0, WIN_W - _WARP_CW)
+        csel = jax.lax.broadcasted_iota(jnp.int32, (WIN_W, _WARP_CW), 0)
+        jsel = jax.lax.broadcasted_iota(jnp.int32, (WIN_W, _WARP_CW), 1)
+        Pm = (csel == jsel + off).astype(jnp.bfloat16)
+        win_c = jnp.dot(win56, Pm, preferred_element_type=jnp.float32)
+        blk = jnp.concatenate(
+            [win_c, jnp.zeros((64 - _WARP_SLICE_H, _WARP_CW), jnp.float32)],
+            axis=0).astype(jnp.bfloat16)                  # (64, 64)
+        ox = (bx_ref[idx] + off).astype(jnp.float32)
+        oy = (by_ref[idx] + row_off).astype(jnp.float32)
+        return blk, (cost, sint, m02, m12, ox, oy)
+
+    def grids_uv(aff, dx0, dy0, dx1, dy1):
+        """Sample coords for two neighbor grids [g0|g1] as one (1, 2048) row:
+        lane g*1024 + i samples patch coord (x + dx_g, y + dy_g) of interior
+        pixel i (i<900: x = i%30+1, y = i//30+1; the padded tail is dead)."""
+        cost, sint, m02, m12, ox, oy = aff
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * npx), 1)
+        g = lane // npx
+        pi = lane % npx
+        dead = pi >= 900
+        xx = pi % 30 + 1
+        yy = pi // 30 + 1
+        pxv = (xx + jnp.where(g == 0, dx0, dx1)).astype(jnp.float32)
+        pyv = (yy + jnp.where(g == 0, dy0, dy1)).astype(jnp.float32)
+        u = cost * pxv - sint * pyv + m02
+        v = sint * pxv + cost * pyv + m12
+        ui = jnp.floor(u).astype(jnp.int32)
+        vi = jnp.floor(v).astype(jnp.int32)
+        ok = ((ui >= 0) & (ui + 1 < img_w) & (vi >= 0) & (vi + 1 < img_h)
+              & jnp.logical_not(dead))
+        return u - ox, v - oy, ok
+
+    def sample_pair(lhs, uv0, uv1):
+        """Quantized warped samples for both keypoints at their (1, 2048)
+        local sample coords: exact one-hot gathers + full-f32 VPU lerp +
+        hat-sum + u8 quantization (the _warp_kernel contract)."""
+        u0, v0, ok0 = uv0
+        u1, v1, ok1 = uv1
+        w2 = 2 * npx
+        ksel = jax.lax.broadcasted_iota(jnp.int32, (2 * _WARP_CW, w2), 0)
+        hi = (ksel >= _WARP_CW)
+        cc = jnp.where(hi, ksel - _WARP_CW, ksel).astype(jnp.float32)
+        uu = jnp.where(hi, u1, u0)
+        ufl = jnp.floor(uu)
+        Xl = (cc == ufl).astype(jnp.bfloat16)                 # (128, 2048)
+        Xr = (cc == ufl + np.float32(1.0)).astype(jnp.bfloat16)
+        z_l = jnp.dot(lhs, Xl, preferred_element_type=jnp.float32)
+        z_r = jnp.dot(lhs, Xr, preferred_element_type=jnp.float32)
+        rsel = jax.lax.broadcasted_iota(jnp.int32, (128, w2), 0)
+        rhi = (rsel >= 64)
+        du = jnp.where(rhi, u1 - jnp.floor(u1), u0 - jnp.floor(u0))
+        sres = (np.float32(1.0) - du) * z_l + du * z_r
+        rr = jnp.where(rhi, rsel - 64, rsel).astype(jnp.float32)
+        vv = jnp.where(rhi, v1, v0)
+        Y = jnp.maximum(np.float32(1.0) - jnp.abs(rr - vv), np.float32(0.0))
+        prod = Y * sres
+        t0 = prod[0:64].sum(axis=0, keepdims=True)            # (1, 2048)
+        t1 = prod[64:128].sum(axis=0, keepdims=True)
+        q0 = jnp.minimum(jnp.trunc(t0 + np.float32(0.5)), np.float32(255.0))
+        q1 = jnp.minimum(jnp.trunc(t1 + np.float32(0.5)), np.float32(255.0))
+        q0 = jnp.where(ok0, q0, np.float32(0.0))
+        q1 = jnp.where(ok1, q1, np.float32(0.0))
+        return q0, q1
+
+    def sift_votes(dxv, dyv):
+        """(oi, v_lo, v_hi) per pixel from quantized-gradient rows."""
+        mag = jnp.sqrt(dxv * dxv + dyv * dyv)
+        ori = _atan2_poly(dyv, dxv)
+        scale_o = np.float32(8.0 / (2.0 * np.pi))
+        ob = scale_o * ori
+        oi = jnp.floor(ob).astype(jnp.int32)
+        of = ob - oi.astype(jnp.float32)
+        oi = jnp.where(oi < 0, oi + 8, oi)
+        oi = jnp.where(oi >= 8, oi - 8, oi)
+        v_hi = of * mag
+        v_lo = mag - v_hi
+        return oi, v_lo, v_hi
+
+    def body(pair):
+        blk0, aff0 = half(pair, 0)
+        blk1, aff1 = half(pair, 1)
+        z64 = jnp.zeros((64, _WARP_CW), jnp.bfloat16)
+        lhs = jnp.concatenate(
+            [jnp.concatenate([blk0, z64], axis=1),
+             jnp.concatenate([z64, blk1], axis=1)], axis=0)   # (128, 128)
+
+        # half-pass 1: horizontal neighbor grids R=(x+1,y), L=(x-1,y)
+        qrl0, qrl1 = sample_pair(lhs, grids_uv(aff0, 1, 0, -1, 0),
+                                 grids_uv(aff1, 1, 0, -1, 0))
+        # half-pass 2: vertical neighbor grids U=(x,y-1), D=(x,y+1)
+        qud0, qud1 = sample_pair(lhs, grids_uv(aff0, 0, -1, 0, 1),
+                                 grids_uv(aff1, 0, -1, 0, 1))
+
+        # quantized-patch gradients (oracle: dx = p[y,x+1]-p[y,x-1],
+        # dy = p[y-1,x]-p[y+1,x]); static 1024-lane slices are aligned
+        votes = []
+        for (qrl, qud) in ((qrl0, qud0), (qrl1, qud1)):
+            dxv = (jax.lax.slice(qrl, (0, 0), (1, npx))
+                   - jax.lax.slice(qrl, (0, npx), (1, 2 * npx)))
+            dyv = (jax.lax.slice(qud, (0, 0), (1, npx))
+                   - jax.lax.slice(qud, (0, npx), (1, 2 * npx)))
+            votes.append(sift_votes(dxv, dyv))
+
+        # vote matrix: rows = (kp, orientation bin), circular bin 8 folded
+        # into 0 at vote time (== the oracle's post-crop fold, up to f32
+        # accumulation order)
+        rsel = jax.lax.broadcasted_iota(jnp.int32, (16, npx), 0)
+        kp_row = rsel // 8
+        o_row = rsel % 8
+        oi_b = jnp.where(kp_row == 0, votes[0][0], votes[1][0])
+        vlo_b = jnp.where(kp_row == 0, votes[0][1], votes[1][1])
+        vhi_b = jnp.where(kp_row == 0, votes[0][2], votes[1][2])
+        oip1 = oi_b + 1
+        oip1 = jnp.where(oip1 == 8, 0, oip1)
+        V = (jnp.where(o_row == oi_b, vlo_b, np.float32(0.0))
+             + jnp.where(o_row == oip1, vhi_b, np.float32(0.0)))
+
+        # (16, 1024) @ (1024, 128) f32: H[(kp, o), rc] spatial-core histogram.
+        # precision=HIGHEST: Mosaic's default f32 dot rounds through bf16
+        # passes — measured ~1% of quantized desc entries flipping by 1 vs
+        # the oracle on chip; the full-f32 path matches the XLA stage's
+        # precision="highest" GEMM class (flips ~0.1%)
+        H = jnp.dot(V, wsp_ref[...], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+
+        for j in (0, 1):
+            hb = jax.lax.slice(H, (8 * j, 0), (8 * j + 8, 128))  # (8, 128)
+            nrm = jnp.maximum(jnp.sqrt((hb * hb).sum()), _EPS32)
+            d = hb * _recip(nrm)
+            d = jnp.minimum(d, np.float32(0.2))
+            nrm2 = jnp.maximum(jnp.sqrt((d * d).sum()), _EPS32)
+            d = d * _recip(nrm2)
+            q = jnp.clip(jnp.trunc(np.float32(512.0) * d + np.float32(0.5)),
+                         0.0, 255.0)
+            # orientation-major flatten (8, 16) -> (1, 128): e[o*16+rc] =
+            # q[o, rc].  Mosaic cannot concat/reshape sublanes into lanes;
+            # instead one exact one-hot matmul replicates each 16-lane core
+            # across the row (qA[o, l] = q[o, l%16] — values are small exact
+            # ints, bf16-safe) and a masked sublane sum picks row l//16.
+            # The XLA projection uses hs_fused_projection's permuted columns.
+            csel2 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+            lsel2 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+            A = (csel2 == lsel2 % 16).astype(jnp.bfloat16)
+            qa = jnp.dot(q.astype(jnp.bfloat16), A,
+                         preferred_element_type=jnp.float32)  # (8, 128)
+            osel = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            osel_l = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) // 16
+            row = jnp.where(osel == osel_l, qa, np.float32(0.0)).sum(
+                axis=0, keepdims=True)                        # (1, 128)
+            out_ref[2 * pair + j:2 * pair + j + 1, :] = row.astype(
+                jnp.int32).astype(jnp.uint8)
+
+    for pair in range(_WARP_KPB // 2):
+        body(pair)
+
+
+@functools.partial(jax.jit, static_argnums=(6,))
+def _hs_desc_windows_impl(image, x, y, size, angle, valid,
+                          cropping_scale: float):
+    """(N, 128) uint8 quantized SIFT descriptors (orientation-major core
+    layout) via the fused kernel; feed hs_fused_projection's permuted GEMM."""
+    from . import hash_sift as _hs
+    h, w = image.shape
+    pad_h = max(-(-h // 8) * 8, _WARP_WIN_H)
+    pad_w = max(-(-w // 128) * 128, WIN_W)
+    yi = jnp.floor(y).astype(jnp.int32)
+    xi = jnp.floor(x).astype(jnp.int32)
+    base_y = jnp.clip(((yi - 24) // 32) * 32, 0, pad_h - _WARP_WIN_H)
+    base_x = jnp.clip(((xi - 96) // 128) * 128, 0, pad_w - WIN_W)
+    padded = pad_image(image, pad_h, pad_w)
+    order = jnp.argsort(_window_key(base_y, base_x, pad_w))
+    srt = [jnp.take(a, order) for a in (base_y, base_x, x, y, size, angle)]
+    (by, bx, kx, ky, ks, ka), n_pad, n = _pad_n(srt, _WARP_KPB)
+    grp, start, nstart = _window_groups(_window_key(by, bx, pad_w), _WARP_KPB)
+    meta = ((grp & 1) | (start << 1)).astype(jnp.int32)
+    kp = jnp.stack([kx, ky, ks, ka], axis=1)
+    wsp = jnp.asarray(_hs._spatial_weight_core())
+
+    kernel = functools.partial(_hs_fused_kernel,
+                               cropping_scale=cropping_scale,
+                               img_w=w, img_h=h)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(n_pad // _WARP_KPB,),
+            in_specs=[
+                pl.BlockSpec((_WARP_KPB, 4), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1024, 128), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((_WARP_KPB, 128), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, _WARP_WIN_H, WIN_W), jnp.uint8),
+                pltpu.VMEM((2, _WARP_WIN_H, WIN_W), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 128), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(by, bx, meta, nstart, kp, wsp, padded)
+    inv = jnp.zeros_like(order).at[order].set(
+        jnp.arange(order.shape[0], dtype=order.dtype))
+    return jnp.where(valid[:, None], jnp.take(out[:n], inv, axis=0), 0)
+
+
+# ---------------------------------------------------------------------------
+# HashSIFT patch-warp kernel, large-keypoint buckets (single-keypoint mode)
+# ---------------------------------------------------------------------------
+
+_WARPB_KPB = 8  # (KPB, 4) kp block needs sublane divisible by 8
+
+
+def _warp_kernel_big(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref,
+                     img_hbm, out_ref, win_ref, winbf_ref, sem, *,
+                     cropping_scale, img_w, img_h, win_h, win_w, half):
+    """Patch warp for octave buckets beyond the pair kernel's 64-col
+    compaction (affine scale > _S_BASE): one keypoint per MXU pass.
+
+    Same exactness contract as _warp_kernel: the MXU does only exact one-hot
+    gathers ({0,1} factors x integer pixels), all bilinear weights apply on
+    the VPU in full f32.  The compacted window is (slice_h, 2*half): rows by
+    an 8-aligned dynamic slice (keypoint row at slice offset [half, half+8)),
+    columns by a one-hot compaction matmul (win @ P selects [off, off+2*half)
+    around the keypoint; off is clamped so border keypoints' in-image support
+    stays inside the slab — out-of-image samples are masked anyway)."""
+    i = pl.program_id(0)
+    npx = 32 * 32
+    cwp = 2 * half
+    slice_h = 2 * half + 8
+
+    def get_dma(slot, idx):
+        return pltpu.make_async_copy(
+            img_hbm.at[pl.ds(pl.multiple_of(by_ref[idx], 8), win_h),
+                       pl.ds(pl.multiple_of(bx_ref[idx], 128), win_w)],
+            win_ref.at[slot], sem.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        get_dma(meta_ref[0] & 1, 0).start()
+
+    def body(k):
+        idx = i * _WARPB_KPB + k
+        meta = meta_ref[idx]
+        slot = meta & 1
+
+        @pl.when((meta >> 1) == 1)
+        def _():
+            nxt = nstart_ref[idx]
+
+            @pl.when(nxt < nstart_ref.shape[0])
+            def _():
+                get_dma(1 - slot, nxt).start()
+
+            get_dma(slot, idx).wait()
+            winbf_ref[slot] = win_ref[slot].astype(
+                jnp.int32).astype(jnp.bfloat16)
+
+        _, cost, sint, m02, m12 = _affine_scalars(
+            kp_ref[k, 0], kp_ref[k, 1], kp_ref[k, 2], kp_ref[k, 3],
+            cropping_scale)
+
+        pidx = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
+        pxf = (pidx % 32).astype(jnp.float32)
+        pyf = (pidx // 32).astype(jnp.float32)
+        u = cost * pxf - sint * pyf + m02
+        v = sint * pxf + cost * pyf + m12
+        ui = jnp.floor(u).astype(jnp.int32)
+        vi = jnp.floor(v).astype(jnp.int32)
+        valid_px = ((ui >= 0) & (ui + 1 < img_w) &
+                    (vi >= 0) & (vi + 1 < img_h))
+
+        yi_loc = jnp.floor(kp_ref[k, 1]).astype(jnp.int32) - by_ref[idx]
+        row_off = jnp.clip(((yi_loc - half) // 8) * 8, 0, win_h - slice_h)
+        winr = winbf_ref[slot, pl.ds(pl.multiple_of(row_off, 8), slice_h), :]
+
+        xi_loc = jnp.floor(kp_ref[k, 0]).astype(jnp.int32) - bx_ref[idx]
+        off = jnp.clip(xi_loc - half, 0, win_w - cwp)
+        csel = jax.lax.broadcasted_iota(jnp.int32, (win_w, cwp), 0)
+        jsel = jax.lax.broadcasted_iota(jnp.int32, (win_w, cwp), 1)
+        Pm = (csel == jsel + off).astype(jnp.bfloat16)
+        win_c = jnp.dot(winr, Pm,
+                        preferred_element_type=jnp.float32)  # exact ints
+        win_c = win_c.astype(jnp.bfloat16)                   # (slice_h, cwp)
+
+        u_loc = u - (bx_ref[idx] + off).astype(jnp.float32)  # (1, npx)
+        v_loc = v - (by_ref[idx] + row_off).astype(jnp.float32)
+
+        ksel = jax.lax.broadcasted_iota(jnp.int32, (cwp, npx), 0)
+        ccf = ksel.astype(jnp.float32)
+        ufl = jnp.floor(u_loc)
+        Xl = (ccf == ufl).astype(jnp.bfloat16)               # (cwp, npx)
+        Xr = (ccf == ufl + np.float32(1.0)).astype(jnp.bfloat16)
+        z_l = jnp.dot(win_c, Xl, preferred_element_type=jnp.float32)
+        z_r = jnp.dot(win_c, Xr, preferred_element_type=jnp.float32)
+
+        du = u_loc - ufl
+        sres = (np.float32(1.0) - du) * z_l + du * z_r       # (slice_h, npx)
+        rrf = jax.lax.broadcasted_iota(
+            jnp.int32, (slice_h, npx), 0).astype(jnp.float32)
+        Y = jnp.maximum(np.float32(1.0) - jnp.abs(rrf - v_loc),
+                        np.float32(0.0))
+        t = (Y * sres).sum(axis=0, keepdims=True)            # (1, npx)
+        val = jnp.minimum(jnp.trunc(t + np.float32(0.5)), np.float32(255.0))
+        # static store offsets (unrolled keypoint loop): dynamic (1, 1024)
+        # sublane stores cost ~27us on this chip
+        out_ref[k:k + 1, :] = jnp.where(
+            valid_px, val, 0.0).astype(jnp.int32).astype(jnp.uint8)
+
+    for k in range(_WARPB_KPB):
+        body(k)
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7),
+                   static_argnames=("s_max",))
+def _warp_patches_windows_big_impl(image, x, y, size, angle, valid,
+                                   cropping_scale: float, s_max: float):
+    """(N, 1024) uint8 warped patches for large-keypoint octave buckets."""
+    h, w = image.shape
+    geom = warp_geom(s_max)
+    base_y, base_x, pad_h, pad_w = plan_windows(x, y, h, w, geom)
+    padded = pad_image(image, pad_h, pad_w)
+    order = jnp.argsort(_window_key(base_y, base_x, pad_w))
+    srt = [jnp.take(a, order) for a in (base_y, base_x, x, y, size, angle)]
+    (by, bx, kx, ky, ks, ka), n_pad, n = _pad_n(srt, _WARPB_KPB)
+    grp, start, nstart = _window_groups(
+        _window_key(by, bx, pad_w), _WARPB_KPB)
+    meta = ((grp & 1) | (start << 1)).astype(jnp.int32)
+    kp = jnp.stack([kx, ky, ks, ka], axis=1)
+
+    kernel = functools.partial(_warp_kernel_big,
+                               cropping_scale=cropping_scale,
+                               img_w=w, img_h=h, win_h=geom.win_h,
+                               win_w=geom.win_w, half=geom.half)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(n_pad // _WARPB_KPB,),
+            in_specs=[
+                pl.BlockSpec((_WARPB_KPB, 4), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((_WARPB_KPB, 1024), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, geom.win_h, geom.win_w), jnp.uint8),
+                pltpu.VMEM((2, geom.win_h, geom.win_w), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1024), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(by, bx, meta, nstart, kp, padded)
+    inv = jnp.zeros_like(order).at[order].set(
+        jnp.arange(order.shape[0], dtype=order.dtype))
+    return jnp.where(valid[:, None], jnp.take(out[:n], inv, axis=0), 0)
+
+
 bad_descriptors_windows = _chunked(_bad_descriptors_windows_impl, 5)
 ic_angles_windows = _chunked(_ic_angles_windows_impl, 3)
 warp_patches_windows = _chunked(_warp_patches_windows_impl, 5)
+warp_patches_windows_big = _chunked(_warp_patches_windows_big_impl, 5)
+hs_desc_windows = _chunked(_hs_desc_windows_impl, 5)

@@ -97,6 +97,64 @@ def test_warp_window_kernel_exact(img):
     assert (a != b).mean() < 1e-3
 
 
+def test_hs_fused_kernel_desc_parity(img):
+    """Fused HashSIFT kernel (warp+grad+hist+normalize in one pass) vs the
+    oracle's quantized 128-d SIFT descriptor.  The kernel emits the
+    orientation-major core layout e[o*16+rc] = d[rc*8+o]; tolerance covers
+    trig/atan-poly/reciprocal ULP classes (quantized values off by <= 1, on
+    a tiny fraction of entries)."""
+    h, w = img.shape
+    x, y, size, angle = make_keypoints(h, w, 24, seed=8)
+    x[:3] = [2, w - 3, w / 2]
+    y[:3] = [h / 2, 2, h - 3]
+    valid = np.ones(24, bool)
+    patches = DC.warp_patches(img, x, y, size, angle, 1.0)
+    want_d = DC.patch_sift_responses(patches)[:, 1:]          # (N, 128)
+    perm = np.array([(l % 16) * 8 + l // 16 for l in range(128)])
+    want_e = want_d[:, perm]
+    got = np.asarray(WK.hs_desc_windows(
+        jnp.asarray(img), jnp.asarray(x), jnp.asarray(y), jnp.asarray(size),
+        jnp.asarray(angle), jnp.asarray(valid), 1.0)).astype(np.float32)
+    assert np.abs(got - want_e).max() <= 1.0
+    assert (got != want_e).mean() < 2e-3
+
+
+def test_hs_fused_end_to_end_budget(img):
+    """Fused path end-to-end (kernel + permuted projection) vs the oracle
+    HashSIFT bytes, at the reference's 1e-4 budget."""
+    from efficient_features_tpu import pipeline as P
+
+    h, w = img.shape
+    x, y, size, angle = make_keypoints(h, w, 200, seed=9)
+    valid = np.ones(200, bool)
+    for nbits in (256, 512):
+        a = DC.hash_sift_descriptors(img, x, y, size, angle, nbits=nbits)
+        desc = WK.hs_desc_windows(
+            jnp.asarray(img), jnp.asarray(x), jnp.asarray(y),
+            jnp.asarray(size), jnp.asarray(angle), jnp.asarray(valid), 1.0)
+        b = np.asarray(P._hs_from_fused(desc, jnp.asarray(valid), nbits))
+        budget = int(1e-4 * a.size) + 1
+        assert (a != b).sum() <= budget
+
+
+def test_atan2_poly_accuracy():
+    """Hand-rolled Mosaic atan2 vs numpy over all quadrants and axes."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    dx = np.concatenate([rng.uniform(-300, 300, 4000),
+                         np.array([0, 0, 1, -1, 0, 255, -255, 3])])
+    dy = np.concatenate([rng.uniform(-300, 300, 4000),
+                         np.array([0, 1, 0, 0, -1, -3, 255, 255])])
+    got = np.asarray(jax.jit(WK._atan2_poly)(
+        jnp.asarray(dy, jnp.float32)[None, :],
+        jnp.asarray(dx, jnp.float32)[None, :]))[0]
+    want = np.arctan2(dy, dx).astype(np.float32)
+    err = np.abs(got - want)
+    err = np.minimum(err, np.abs(err - 2 * np.pi))  # -pi vs pi seam
+    assert err.max() < 1.5e-6
+
+
 def test_ic_window_kernel_exact(img):
     h, w = img.shape
     rng = np.random.default_rng(2)

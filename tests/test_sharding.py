@@ -123,3 +123,32 @@ def test_sp_rows_sharded_large_radius():
     np.testing.assert_array_equal(ys[:n], eys)
     np.testing.assert_array_equal(xs[:n], exs)
     np.testing.assert_array_equal(resp[:n], er.astype(np.float32))
+
+def test_api_mesh_detect_matches_single_chip():
+    """EfficientFeatures.detect(image, mesh=...) — the public sp entry —
+    matches detect_jit byte-for-byte (round-3: sharded pyramid detect is a
+    user feature, not a test-only artifact)."""
+    from efficient_features_tpu import EfficientFeatures
+
+    assert len(jax.devices()) >= 8
+    mesh = SH.make_mesh(8)
+    img = make_test_image(512, 256, seed=140)
+    feat = EfficientFeatures(nfeatures=600, nlevels=4,
+                             descriptor_type="bad_256")
+    kps = feat.detect(img, mesh=mesh)
+    ref = {k: np.asarray(v)
+           for k, v in P.detect_jit(jnp.asarray(img), feat._cfg).items()}
+    got = kps._slots
+    assert int(got["count"]) == int(ref["count"])
+    for k in ("x", "y", "response", "octave", "valid"):
+        np.testing.assert_array_equal(np.asarray(got[k]), ref[k])
+
+    kps2, desc2 = feat.detect_and_compute(img, mesh=mesh)
+    s1, d1 = P.detect_and_compute_jit(jnp.asarray(img), feat._cfg)
+    np.testing.assert_array_equal(np.asarray(kps2._slots["x"]),
+                                  np.asarray(s1["x"]))
+    # detect_and_compute compacts descriptor rows to the valid keypoints
+    valid = np.asarray(s1["valid"])
+    got_d = np.asarray(desc2)
+    want_d = np.asarray(d1)[valid]
+    assert (got_d != want_d).sum() <= int(1e-4 * want_d.size) + 1
