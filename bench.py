@@ -227,6 +227,25 @@ def main():
         if base is not None:
             detail[f"{key}_vs_rtx3060ti"] = round(base / best[key], 4)
 
+    # attach the stage profile (tools/profile_stages.py) and the round-3
+    # A/B decisions so the context travels with every bench record
+    import os.path as _osp
+    prof = _osp.join(here, "tools", "STAGE_PROFILE.json")
+    if _osp.exists(prof):
+        with open(prof) as f:
+            detail["stage_profile"] = json.load(f)
+    detail["decisions"] = {
+        "hs_fused_kernel": "off by A/B (fused recomputes 3.5x bilinear "
+        "samples for quantized-patch gradients; two-stage wins ~70 vs "
+        "~120 ms at 40k; EFF_TPU_FUSED_HS=1 opts in)",
+        "bad_window_dma": "one DMA per distinct window (group) kept; "
+        "per-program re-DMA measured equal within noise — r2 'regression' "
+        "was share swing",
+        "pallas_resize": "XLA gather resize stays default (pallas variant "
+        "measured 32.3 vs 28.5 ms detect-4K, ties at 8K); opt-in via "
+        "FeatureConfig.pallas_resize / EFF_TPU_PALLAS_RESIZE",
+    }
+
     ms = best["detect_and_compute_4k_40k_bad_256"]
     baseline_ms = 7.2
     vs = baseline_ms / ms

@@ -295,12 +295,18 @@ def _bad_kernel(by_ref, bx_ref, meta_ref, nstart_ref,
             iy2 = jnp.clip(cy + tbr + 1, lo_y + 1, hi_y)
             ix1 = jnp.clip(cx - tbr, lo_x, hi_x - 1)
             ix2 = jnp.clip(cx + tbr + 1, lo_x + 1, hi_x)
-            cc = ((cols_t >= ix1) & (cols_t < ix2)).astype(jnp.int32)
-            rr = ((rows_t >= iy1) & (rows_t < iy2)).astype(jnp.int32)
+            # range indicator in ONE unsigned compare per (dim, bit) block
+            # instead of two compares + AND (the indicator builds are the
+            # kernel's VPU floor): t in [a, b) <=> u32(t - a) < u32(b - a)
+            cc = ((cols_t - ix1).astype(jnp.uint32)
+                  < (ix2 - ix1).astype(jnp.uint32))
+            rr = ((rows_t - iy1).astype(jnp.uint32)
+                  < (iy2 - iy1).astype(jnp.uint32))
             z = jnp.dot(win8, cc.astype(jnp.int8),
                         preferred_element_type=jnp.int32)
             area = (iy2 - iy1) * (ix2 - ix1)                # (1, nbits)
-            ssum = (rr * z).sum(axis=0, keepdims=True) + 128 * area
+            ssum = (rr.astype(jnp.int32) * z).sum(axis=0, keepdims=True) \
+                + 128 * area
             return ssum, area                               # exact int32
 
         s1i, a1i = box_sums(ty1, tx1)

@@ -206,11 +206,19 @@ def detect_core(image: jax.Array, cfg: FeatureConfig, mask=None):
 
 
 def _use_fused_hs() -> bool:
-    """Fused HashSIFT kernel (warp+gradients+histogram+normalize in one
-    Pallas pass) is the default TPU path; EFF_TPU_FUSED_HS=0 falls back to
-    the round-2 two-stage path (patch kernel + XLA histogram) for A/B."""
+    """Opt-in fused HashSIFT kernel (warp+gradients+histogram+normalize in
+    one Pallas pass, EFF_TPU_FUSED_HS=1).
+
+    Decided OFF by same-session A/B (BENCH_DETAIL round 3: fused 120.1 ms vs
+    two-stage 70.9 ms at 40k/4K): gradients of the quantized patch force the
+    fused kernel to recompute the four neighbor sample grids (3.5x the
+    bilinear samples of the patch itself) because in-kernel lane shifts are
+    slow on TPU, while the two-stage path gets gradients from plain XLA
+    shifts of the (N, 1024) patch array at full VPU rate.  The patch HBM
+    round trip the fusion saves (~82 MB at 40k) costs ~0.1 ms at healthy
+    HBM rates — the fusion is the wrong trade on any chip."""
     import os
-    return os.environ.get("EFF_TPU_FUSED_HS", "1") != "0"
+    return os.environ.get("EFF_TPU_FUSED_HS", "0") == "1"
 
 
 def _hs_from_patches(patches, valid, nbits):

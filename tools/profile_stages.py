@@ -1,16 +1,20 @@
 """Stage-split profiling on the real TPU chip (round-3 verdict items #5/#7).
 
-Measures, in ONE process (so the chip's time-share applies equally):
-  - detect-4K stage split: pyramid / cells kernels / selection / IC / full
-    (the difference to full is the assembly+scalePoints+concat stage)
-  - BAD window-kernel scaling: nbits 256 vs 512 (factor build + matmul scale
-    linearly in nbits; DMA is constant) and dense vs sparse keypoints (DMA
-    per distinct window amortization) at 10k/40k/100k — the data behind the
-    "~600 vreg-ops/kp formulation floor" claim
-  - range-indicator build variant A/B hooks (see window_kernels)
+Measures, with the bench.py interleaved-min protocol (the chip's time share
+swings 5-10x on a minutes scale — sequential per-metric timing is
+meaningless; a first run of this tool showed cells-only > full-detect):
+  - detect-4K stage split: pyramid / cells kernels / +selection / +IC /
+    full (full minus +IC is the assembly+scalePoints+concat stage)
+  - BAD window-kernel scaling: nbits 256 vs 512 (factor build + matmul
+    scale linearly in nbits; DMA constant) and dense vs sparse keypoints
+    (DMA-per-distinct-window amortization) at 10k/40k/100k — the data
+    behind the "~600 vreg-ops/kp formulation floor" claim
+  - HashSIFT two-stage split: warp kernel / XLA histogram / projection GEMM
+    (all jitted standalone — inside compute_jit XLA fuses the warp's
+    un-sort gather into the consumer, so absolute numbers overstate; use
+    them comparatively)
 
-Writes tools/STAGE_PROFILE.json and prints it; bench.py folds the headline
-numbers into BENCH_DETAIL.json context.
+Writes tools/STAGE_PROFILE.json and prints it.
 """
 import functools
 import json
@@ -35,24 +39,20 @@ def main():
     from efficient_features_tpu.ops import detect as OD
     from efficient_features_tpu.ops import pallas_kernels as PK
     from efficient_features_tpu.ops import window_kernels as WK
+    from efficient_features_tpu.ops import hash_sift as OH
+    from efficient_features_tpu.models.params import load_hash_sift_matrix
+    from efficient_features_tpu.utils import semantics as S
     from bench import make_bench_image
 
     def read(out):
         leaf = jax.tree_util.tree_leaves(out)[0]
         np.asarray(jax.device_get(leaf))
 
-    def t_ms(fn, iters=3):
-        read(fn())  # warm
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                out = fn()
-            read(out)
-            best = min(best, (time.perf_counter() - t0) * 1e3 / iters)
-        return round(best, 2)
+    registry = []   # (key, fn, iters)
 
-    res = {}
+    def reg(key, fn, iters=3):
+        registry.append((key, fn, iters))
+
     h, w = 2160, 3840
     img = jnp.asarray(make_bench_image(h, w))
     cfg = P.FeatureConfig(nfeatures=10000, descriptor_type="bad_256")
@@ -62,7 +62,7 @@ def main():
     def pyramid_only(im):
         return OI.build_pyramid(im, cfg.scale_factor, cfg.nlevels)[-1]
 
-    @functools.partial(jax.jit, static_argnums=())
+    @jax.jit
     def cells_only(im):
         levels = OI.build_pyramid(im, cfg.scale_factor, cfg.nlevels)
         outs = [PK.fast_harris_nms_cells(lv, cfg.fast_threshold,
@@ -84,7 +84,6 @@ def main():
                 corner = OD.fast_corner_mask(lv, cfg.fast_threshold)
                 resp = OD.harris_response(lv)
                 resp = jnp.where(resp == 0, jnp.float32(0.0), resp)
-                import efficient_features_tpu.utils.semantics as S
                 b = S.HALF_PATCH_SIZE
                 border = jnp.zeros((hh, ww), bool
                                    ).at[b:hh - b, b:ww - b].set(True)
@@ -104,29 +103,22 @@ def main():
         quotas = cfg.quotas()
         outs = []
         for s, lv in enumerate(levels):
-            ys, xs, r, valid, ang = _level(lv, min(quotas[s],
-                                                   int(np.prod(lv.shape))))
+            quota = min(quotas[s], int(np.prod(lv.shape)))
+            ys, xs, r, ang, valid = P._detect_level(lv, quota, cfg, None)
             outs.append(ang)
         return outs
 
-    def _level(lv, quota):
-        ys, xs, r, ang, valid = P._detect_level(lv, quota, cfg, None)
-        return ys, xs, r, valid, ang
-
-    res["detect4k_pyramid_ms"] = t_ms(lambda: pyramid_only(img))
-    res["detect4k_cells_ms"] = t_ms(lambda: cells_only(img))
-    res["detect4k_select_ms"] = t_ms(lambda: select_only(img))
-    res["detect4k_ic_ms"] = t_ms(lambda: with_ic(img))
-    res["detect4k_full_ms"] = t_ms(lambda: P.detect_jit(img, cfg))
-    res["detect4k_assembly_ms"] = round(
-        res["detect4k_full_ms"] - res["detect4k_ic_ms"], 2)
+    reg("detect4k_pyramid_ms", lambda: pyramid_only(img))
+    reg("detect4k_cells_ms", lambda: cells_only(img))
+    reg("detect4k_select_ms", lambda: select_only(img))
+    reg("detect4k_ic_ms", lambda: with_ic(img))
+    reg("detect4k_full_ms", lambda: P.detect_jit(img, cfg))
 
     # --- BAD window-kernel scaling ----------------------------------------
     rng = np.random.default_rng(1)
     for n in (10240, 40960, 102400):
         for dense, tag in ((False, "sparse"), (True, "dense")):
             if dense:
-                # pack keypoints into a narrow strip: few distinct windows
                 x = rng.uniform(200, 800, n).astype(np.float32)
                 y = rng.uniform(200, 328, n).astype(np.float32)
             else:
@@ -137,23 +129,94 @@ def main():
             ang = jnp.asarray(rng.uniform(0, 360, n).astype(np.float32))
             ok = jnp.ones((n,), bool)
             for nbits in (256, 512):
-                key = f"bad{nbits}_{tag}_{n // 1024}k_ms"
-                res[key] = t_ms(lambda nb=nbits: WK.bad_descriptors_windows(
-                    img, kx, ky, sz, ang, ok, nb, 1.0), iters=2)
+                reg(f"bad{nbits}_{tag}_{n // 1024}k_ms",
+                    lambda kx=kx, ky=ky, sz=sz, ang=ang, ok=ok, nb=nbits:
+                        WK.bad_descriptors_windows(img, kx, ky, sz, ang,
+                                                   ok, nb, 1.0),
+                    iters=2)
 
-    # derived: per-kp marginal cost of nbits doubling ~= factor+matmul share
+    # --- HashSIFT two-stage split -----------------------------------------
+    n = 40960
+    x = rng.uniform(20, w - 20, n).astype(np.float32)
+    y = rng.uniform(20, h - 20, n).astype(np.float32)
+    kx, ky = jnp.asarray(x), jnp.asarray(y)
+    sz = jnp.full((n,), 31.0, jnp.float32)
+    ang = jnp.asarray(rng.uniform(0, 360, n).astype(np.float32))
+    ok = jnp.ones((n,), bool)
+
+    warp = jax.jit(lambda: WK.warp_patches_windows(img, kx, ky, sz, ang,
+                                                   ok, 1.0))
+    patches = warp()
+    hist = jax.jit(lambda p: OH.patch_sift_responses(p.reshape(-1, 32, 32)))
+    responses = hist(patches)
+    B = jnp.asarray(load_hash_sift_matrix(256))
+    gemm = jax.jit(lambda r: jnp.dot(r, B.T,
+                                     preferred_element_type=jnp.float32,
+                                     precision="highest"))
+    reg("hs_warp40k_ms", warp, iters=2)
+    reg("hs_hist40k_ms", lambda: hist(patches), iters=2)
+    reg("hs_gemm40k_ms", lambda: gemm(responses), iters=2)
+
+    # hist matmul precision ladder (time only; parity must be re-validated
+    # before any precision drop ships)
+    for prec in ("highest", "high", "default"):
+        f = jax.jit(functools.partial(_hist_prec, n=n, prec=prec, OH=OH,
+                                      jnp=jnp))
+        reg(f"hs_hist40k_{prec}_ms",
+            lambda f=f: f(patches), iters=2)
+
+    # --- interleaved measurement ------------------------------------------
+    for _, fn, _ in registry:
+        read(fn())          # compile + warm
+    best = {key: float("inf") for key, _, _ in registry}
+    for _pass in range(3):
+        for key, fn, iters in registry:
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn()
+            read(out)
+            best[key] = min(best[key],
+                            (time.perf_counter() - t0) * 1e3 / iters)
+
+    res = {k: round(v, 2) for k, v in best.items()}
+    res["detect4k_assembly_ms"] = round(
+        res["detect4k_full_ms"] - res["detect4k_ic_ms"], 2)
     for n in (10, 40, 100):
         a = res.get(f"bad256_dense_{n}k_ms")
         b = res.get(f"bad512_dense_{n}k_ms")
         if a and b:
-            res[f"bad_dense_{n}k_us_per_kp_256"] = round(a / n, 2)
-            res[f"bad_dense_{n}k_factor_matmul_share"] = round(
-                (b - a) / a, 3)
+            res[f"bad_dense_{n}k_us_per_kp_256"] = round(a / (n * 1.024), 2)
+            res[f"bad_dense_{n}k_factor_matmul_share"] = round((b - a) / a, 3)
 
     out_path = os.path.join(here, "tools", "STAGE_PROFILE.json")
     with open(out_path, "w") as f:
         json.dump(res, f, indent=2)
     print(json.dumps(res, indent=2))
+
+
+def _hist_prec(p, *, n, prec, OH, jnp):
+    """The 10-matmul histogram stage at a given MXU precision."""
+    pp = p.astype(jnp.float32).reshape(-1, 32, 32)
+    dx = pp[:, 1:-1, 2:] - pp[:, 1:-1, :-2]
+    dy = pp[:, :-2, 1:-1] - pp[:, 2:, 1:-1]
+    mag = jnp.sqrt(dx * dx + dy * dy).reshape(n, -1)
+    ori = jnp.arctan2(dy, dx).reshape(n, -1)
+    so = np.float32(8.0 / (2 * np.pi))
+    ob = so * ori
+    oi = jnp.floor(ob).astype(jnp.int32)
+    of = ob - oi.astype(jnp.float32)
+    oi = jnp.where(oi < 0, oi + 8, oi)
+    oi = jnp.where(oi >= 8, oi - 8, oi)
+    v_hi = of * mag
+    v_lo = mag - v_hi
+    Wsp = jnp.asarray(OH._spatial_weight_matrix())
+    hs = []
+    for o in range(10):
+        v_o = (jnp.where(oi == o, v_lo, 0.0)
+               + jnp.where(oi + 1 == o, v_hi, 0.0))
+        hs.append(jnp.dot(v_o, Wsp, preferred_element_type=jnp.float32,
+                          precision=prec))
+    return jnp.stack(hs, axis=-1)
 
 
 if __name__ == "__main__":
