@@ -261,8 +261,9 @@ class _DescriptorBase:
         """Static octave-bucket scale bound for keypoints of size <=
         size_bound (None -> beyond the bucketed window path's cap)."""
         from .ops import window_kernels as WK
-        s = self._scale * float(size_bound) / 32.0
-        return WK.bucket_scale(s) if s <= WK._S_CAP else None
+        if size_bound > WK.max_bucketed_size(self._scale):
+            return None
+        return WK.bucket_scale(self._scale * float(size_bound) / 32.0)
 
     def descriptor_size(self) -> int:
         return self._nbits // 8

@@ -72,6 +72,37 @@ def detect_and_compute_batch(images: jax.Array, cfg: P.FeatureConfig,
     return jax.jit(sharded)(images)
 
 
+def compute_sharded(image: jax.Array, keypoints_xysa: jax.Array,
+                    valid: jax.Array, mesh: Mesh, *, nbits: int = 256,
+                    kind: str = "bad", scale: float = 1.0,
+                    windows_ok: bool = False):
+    """Descriptor-only compute with the KEYPOINT axis sharded over the mesh
+    (descriptor extraction is embarrassingly parallel per keypoint — the
+    serving-throughput axis for 100k+ keypoint workloads).  The image is
+    replicated; each device runs the standard compute path on its keypoint
+    shard.  Output rows align with the (padded) input slots.
+
+    keypoints_xysa: (N, 4) [x, y, size, angle]; N is padded up to a mesh
+    multiple internally.  `windows_ok` as in pipeline.compute_jit (static;
+    use only when every keypoint fits the base window geometry)."""
+    n_dev = mesh.devices.size
+    axis = mesh.axis_names[0]
+    n = keypoints_xysa.shape[0]
+    n_pad = -(-n // n_dev) * n_dev
+    kp = jnp.pad(keypoints_xysa.astype(jnp.float32),
+                 ((0, n_pad - n), (0, 0)))
+    v = jnp.pad(valid.astype(bool), (0, n_pad - n))
+
+    def shard_fn(kp_blk, v_blk):
+        return P.compute_jit(image, kp_blk, v_blk, nbits, kind, scale,
+                             windows_ok)
+
+    fn = jax.shard_map(shard_fn, mesh=mesh,
+                       in_specs=(P_(axis, None), P_(axis)),
+                       out_specs=P_(axis, None), check_vma=False)
+    return jax.jit(fn)(kp, v)[:n]
+
+
 # ---------------------------------------------------------------------------
 # sp: one image row-sharded with halo exchange
 # ---------------------------------------------------------------------------

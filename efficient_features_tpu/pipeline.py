@@ -278,6 +278,15 @@ def _compute_descriptors_bucketed(image, x, y, size, ang, valid, kind, nbits,
     merged and sent down the always-correct XLA gather path.  This is the TPU
     answer to the reference's any-size descriptor kernels
     (cuda_bad.cu:246-316, cuda_hash_sift.cu:380-412)."""
+    off = 0
+    for (a, b, _) in ranges:          # trace-time: ranges must tile [0, N)
+        if a != off:
+            raise ValueError(f"ranges must tile the slot array; got start "
+                             f"{a} after {off}")
+        off = b
+    if off != x.shape[0]:
+        raise ValueError(f"ranges cover [0, {off}) but there are "
+                         f"{x.shape[0]} keypoint slots")
     use_windows = _use_pallas()
     integral = None
     pieces = []

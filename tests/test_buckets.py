@@ -158,6 +158,36 @@ def test_host_array_bucketed_order(img):
         np.testing.assert_array_equal(got, want)
 
 
+def test_keypoints_level_ranges_first_level(img):
+    """first_level=1 shifts the slot layout; ranges must still tile it and
+    the bucketed compute must equal the gather path."""
+    feat = EfficientFeatures(nfeatures=400, first_level=1,
+                             descriptor_type="bad_256")
+    kps = feat.detect(img)
+    ranges = kps.level_ranges
+    assert ranges[0][0] == 0 and ranges[-1][1] == kps.capacity
+    assert len(ranges) == 7                      # levels 1..7
+    assert ranges[0][2] == pytest.approx(31.0 * 1.2, rel=1e-4)
+    d = feat.compute(img, kps)
+    s = kps._slots
+    kp_dev = jnp.stack([s["x"], s["y"], s["size"], s["angle"]], 1)
+    want = np.asarray(P.compute_jit(jnp.asarray(img), kp_dev, s["valid"],
+                                    256, "bad", 1.0, False))
+    np.testing.assert_array_equal(d, want[np.asarray(s["valid"])])
+
+
+def test_bucketed_ranges_must_tile():
+    img = jnp.zeros((64, 128), jnp.uint8)
+    kp = jnp.zeros((16, 4), jnp.float32)
+    valid = jnp.ones(16, bool)
+    with pytest.raises(ValueError):
+        P.compute_bucketed_jit(img, kp, valid, 256, "bad", 1.0,
+                               ((0, 8, None), (9, 16, None)))
+    with pytest.raises(ValueError):
+        P.compute_bucketed_jit(img, kp, valid, 256, "bad", 1.0,
+                               ((0, 8, None),))
+
+
 def test_keypoints_level_ranges_compute(img):
     """detect() -> compute() on the slot layout: level_ranges must tile the
     slot array and the bucketed compute must equal the gather path."""

@@ -124,6 +124,7 @@ def test_sp_rows_sharded_large_radius():
     np.testing.assert_array_equal(xs[:n], exs)
     np.testing.assert_array_equal(resp[:n], er.astype(np.float32))
 
+
 def test_api_mesh_detect_matches_single_chip():
     """EfficientFeatures.detect(image, mesh=...) — the public sp entry —
     matches detect_jit byte-for-byte (round-3: sharded pyramid detect is a
@@ -152,3 +153,26 @@ def test_api_mesh_detect_matches_single_chip():
     got_d = np.asarray(desc2)
     want_d = np.asarray(d1)[valid]
     assert (got_d != want_d).sum() <= int(1e-4 * want_d.size) + 1
+
+
+def test_compute_sharded_keypoint_axis():
+    """Descriptor-only compute with keypoints sharded over the mesh equals
+    the single-chip gather path, rows in caller order."""
+    assert len(jax.devices()) >= 8
+    mesh = SH.make_mesh(8)
+    img = make_test_image(200, 256, seed=150)
+    rng = np.random.default_rng(151)
+    n = 333                                   # not a mesh multiple
+    kp = np.stack([
+        rng.uniform(5, 250, n), rng.uniform(5, 195, n),
+        rng.uniform(20, 120, n), rng.uniform(-1, 360, n)],
+        axis=1).astype(np.float32)
+    valid = np.ones(n, bool)
+    for kind in ("bad", "hash_sift"):
+        got = np.asarray(SH.compute_sharded(
+            jnp.asarray(img), jnp.asarray(kp), jnp.asarray(valid), mesh,
+            nbits=256, kind=kind))
+        want = np.asarray(P.compute_jit(
+            jnp.asarray(img), jnp.asarray(kp), jnp.asarray(valid), 256,
+            kind, 1.0, False))
+        np.testing.assert_array_equal(got, want)
