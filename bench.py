@@ -8,7 +8,12 @@ Prints ONE JSON line with the headline metric:
 
 Timing protocol: under the axon tunnel, per-call host syncs cost ~30 ms and
 jax.block_until_ready returns early, so each measurement queues N dispatches
-and forces completion with a single host read of one output element.
+and forces completion with a single host read of one output element.  The
+measurement window still carries a fixed ~25 ms round-trip tax (round-3
+probe: detect-FHD per-iter = 33/18/9 ms at 1/3/24 iters), so iteration
+counts are 8-16 to amortize it — matching the reference protocol's 100
+iterations (sample_benchmark.cpp:39-52) in spirit.  Rounds 1-2 used 2-3
+iters; their rows are overstated by ~8-12 ms each.
 
 Detailed per-config results (detect FHD/4K/8K, compute-only 40k for all four
 descriptors, detectAndCompute) plus measured hardware capability (this dev
@@ -97,7 +102,7 @@ def main():
     for k, img in images.items():
         metrics.append((f"detect_{k}",
                         lambda img=img: P.detect_jit(img, det_cfg),
-                        3, baselines_detect[k]))
+                        16, baselines_detect[k]))
 
     # compute-only: 40k fixed keypoints on the 4K image (README.md:58-63)
     img4k = images["4k"]
@@ -118,7 +123,7 @@ def main():
             f"compute40k_{kind}{bits}",
             lambda kind=kind, bits=bits:
                 P.compute_jit(img4k, kps_j, valid, bits, kind, 1.0, True),
-            2, base))
+            8, base))
 
     # compute-only on DETECTOR keypoints (the reference's compute protocol,
     # sample_benchmark.cpp:125-133): multi-octave sizes (31..111 at 8 levels)
@@ -138,7 +143,7 @@ def main():
             f"compute40k_detected_{kind}256",
             lambda kind=kind: P.compute_bucketed_jit(
                 img4k, kp40, valid40, 256, kind, 1.0, br40),
-            2, base))
+            8, base))
 
     # A/B: round-1-style per-program window DMA vs round-2 persistent
     # windows (same synthetic 40k size-31 keypoints; direct kernel calls so
@@ -150,7 +155,7 @@ def main():
             lambda mode=mode: WKm.bad_descriptors_windows(
                 img4k, kx, ky, ksz, kang, valid, 256, 1.0,
                 WKm._S_BASE, mode),
-            2, None))
+            8, None))
 
     # A/B: fused HashSIFT kernel vs the round-2 two-stage path (patch kernel
     # + XLA histogram); the default compute row uses the fused path
@@ -169,16 +174,16 @@ def main():
         return P._hs_from_patches(patches, v, 256)
 
     metrics.append(("compute40k_hs256_fused",
-                    lambda: hs_fused(img4k, kps_j, valid), 2, None))
+                    lambda: hs_fused(img4k, kps_j, valid), 8, None))
     metrics.append(("compute40k_hs256_unfused",
-                    lambda: hs_unfused(img4k, kps_j, valid), 2, None))
+                    lambda: hs_unfused(img4k, kps_j, valid), 8, None))
 
     # masked detect (round-2 verdict weak #4: the masked path skips the
     # fused cell kernel — record the cliff)
     mask4k = jnp.asarray(np.ones(sizes["4k"], np.uint8))
     metrics.append(("detect_4k_masked",
                     lambda: P.detect_masked_jit(img4k, mask4k, det_cfg),
-                    2, None))
+                    12, None))
 
     # A/B: Pallas tiled MXU resize vs XLA-gather pyramid (detect 4K/8K)
     for k in ("4k", "8k"):
@@ -187,7 +192,7 @@ def main():
         metrics.append((
             f"detect_{k}_pallas_resize",
             lambda img=images[k], cfgp=cfgp: P.detect_jit(img, cfgp),
-            2, None))
+            10, None))
 
     # detectAndCompute, 40k keypoints, 4K, all four descriptors
     # (README.md:66-71); BAD-256 is the headline metric
@@ -198,7 +203,7 @@ def main():
         metrics.append((
             f"detect_and_compute_4k_40k_{dt}",
             lambda dac_cfg=dac_cfg: P.detect_and_compute_jit(img4k, dac_cfg),
-            2, base))
+            8, base))
 
     # steady-state streaming frame time (donated buffers; the reference's
     # DeviceBuffer reuse analogue) on FHD detect+compute+match
@@ -206,7 +211,7 @@ def main():
     step, _state = streaming_step_fn(P.FeatureConfig(
         nfeatures=4000, descriptor_type="bad_256"), sizes["fhd"])
     frame = images["fhd"]
-    metrics.append(("streaming_fhd_frame", lambda: step(frame), 3, None))
+    metrics.append(("streaming_fhd_frame", lambda: step(frame), 16, None))
 
     # compile + warm everything, then three interleaved measurement passes
     for _, fn, _, _ in metrics:

@@ -114,12 +114,13 @@ def _resize_tiles(dst_n, src_n, tile, align):
 
 def _resize_kernel(sy_ref, sx_ref, mh_l, mh_h, mv_l, mv_h, src_hbm,
                    out_ref, src_ref, sem, *, wr, wc):
-    # mh_*/mv_* are whole-array VMEM residents (a few MB, fetched once for
-    # the entire grid); per-program blocked fetches of the coefficient
-    # blocks measured ~37 MB of redundant HBM traffic at 4K.
-    rt = pl.program_id(0)
-    ct = pl.program_id(1)
-    nct = pl.num_programs(1)
+    # grid is (nct, nrt) COLUMN-MAJOR (rt fastest): the horizontal
+    # coefficient block mh_*[ct] then stays resident for a whole column of
+    # row tiles (Mosaic only refetches blocked inputs on index change),
+    # keeping coefficient HBM traffic at ~one copy of each block.
+    ct = pl.program_id(0)
+    rt = pl.program_id(1)
+    nrt = pl.num_programs(1)
 
     def dma(slot, r, c):
         return pltpu.make_async_copy(
@@ -127,7 +128,7 @@ def _resize_kernel(sy_ref, sx_ref, mh_l, mh_h, mv_l, mv_h, src_hbm,
                        pl.ds(pl.multiple_of(sx_ref[c], 128), wc)],
             src_ref.at[slot], sem.at[slot])
 
-    step = rt * nct + ct
+    step = ct * nrt + rt
     slot = jax.lax.rem(step, 2)
 
     @pl.when(step == 0)
@@ -135,10 +136,10 @@ def _resize_kernel(sy_ref, sx_ref, mh_l, mh_h, mv_l, mv_h, src_hbm,
         dma(slot, rt, ct).start()
 
     # prefetch the next tile's source block while this one computes
-    nxt_ct = jax.lax.rem(ct + 1, nct)
-    nxt_rt = rt + (ct + 1) // nct
+    nxt_rt = jax.lax.rem(rt + 1, nrt)
+    nxt_ct = ct + (rt + 1) // nrt
 
-    @pl.when(step + 1 < pl.num_programs(0) * nct)
+    @pl.when(step + 1 < pl.num_programs(0) * nrt)
     def _():
         dma(1 - slot, nxt_rt, nxt_ct).start()
 
@@ -151,39 +152,50 @@ def _resize_kernel(sy_ref, sx_ref, mh_l, mh_h, mv_l, mv_h, src_hbm,
         return jax.lax.dot_general(x, y, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.int32)
 
-    # horizontal: (wr, wc) @ (wc, 128); bias undo is exact because every
+    mhl = mh_l[0]
+    mhh = mh_h[0]
+    mvl = mv_l[0]
+    mvh = mv_h[0]
+    # horizontal: (wr, wc) @ (wc, TC); bias undo is exact because every
     # dst column's weights sum to 2048
-    hp = (i8dot(a, mh_l[ct]) + (i8dot(a, mh_h[ct]) << 6)
-          + (one << 7))                                    # (wr, 128) int32
+    hp = (i8dot(a, mhl) + (i8dot(a, mhh) << 6)
+          + (one << 7))                                    # (wr, TC) int32
     l0 = (hp & 127).astype(jnp.int8)
     l1 = ((hp >> 7) & 127).astype(jnp.int8)
     l2 = (hp >> 14).astype(jnp.int8)
-    acc = (i8dot(mv_l[rt], l0) + (i8dot(mv_h[rt], l0) << 6)
-           + ((i8dot(mv_l[rt], l1) + (i8dot(mv_h[rt], l1) << 6)) << 7)
-           + ((i8dot(mv_l[rt], l2) + (i8dot(mv_h[rt], l2) << 6)) << 14))
+    acc = (i8dot(mvl, l0) + (i8dot(mvh, l0) << 6)
+           + ((i8dot(mvl, l1) + (i8dot(mvh, l1) << 6)) << 7)
+           + ((i8dot(mvl, l2) + (i8dot(mvh, l2) << 6)) << 14))
     rnd = jnp.int32(1 << (2 * S.RESIZE_BITS - 1))
     out_ref[...] = ((acc + rnd) >> (2 * S.RESIZE_BITS)).astype(jnp.uint8)
 
 
 def resize_u8_pallas(src: jax.Array, dst_hw: tuple[int, int]) -> jax.Array:
-    """Tiled MXU resize, bit-identical to resize_u8 (see block comment)."""
+    """Tiled MXU resize, bit-identical to resize_u8 (see block comment).
+
+    Round 3: rectangular (<=256, <=512) dst tiles — the round-2 128x128
+    tiling put 375 programs on a 4K level and per-program grid overhead
+    dominated; 8x fewer programs with the same arithmetic.  Coefficient
+    blocks are blocked VMEM inputs fetched per index (column-major grid
+    keeps each horizontal block resident across a column of row tiles)."""
     h, w = dst_hw
     sh, sw = src.shape
-    tile = 128
-    sy, Mv, wr = _resize_tiles(h, sh, tile, 8)
-    sx, Mh, wc = _resize_tiles(w, sw, tile, 128)
+    tr = min(256, -(-h // 8) * 8)
+    tc = min(512, -(-w // 128) * 128)
+    sy, Mv, wr = _resize_tiles(h, sh, tr, 8)
+    sx, Mh, wc = _resize_tiles(w, sw, tc, 128)
     nrt, nct = len(sy), len(sx)
     # pad the source so every (wr, wc) window is in bounds
     ph = max(-(-sh // 8) * 8, int(sy.max()) + wr)
     pw = max(-(-sw // 128) * 128, int(sx.max()) + wc)
     padded = jnp.pad(src, ((0, ph - sh), (0, pw - sw)))
 
-    def limbs_h(M):  # (nct, wc, tile) int32 weights -> 6+6 bit int8 limbs
+    def limbs_h(M):  # (nct, wc, tc) int32 weights -> 6+6 bit int8 limbs
         return (jnp.asarray((M & 63).astype(np.int8)),
                 jnp.asarray((M >> 6).astype(np.int8)))
 
     mh_l, mh_h = limbs_h(Mh)
-    # vertical blocks contract over rows: transpose to (nrt, tile, wr)
+    # vertical blocks contract over rows: transpose to (nrt, tr, wr)
     MvT = np.swapaxes(Mv, 1, 2)
     mv_l, mv_h = (jnp.asarray((MvT & 63).astype(np.int8)),
                   jnp.asarray((MvT >> 6).astype(np.int8)))
@@ -193,22 +205,26 @@ def resize_u8_pallas(src: jax.Array, dst_hw: tuple[int, int]) -> jax.Array:
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(nrt, nct),
+            grid=(nct, nrt),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, wc, tc), lambda c, r, *_: (c, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, wc, tc), lambda c, r, *_: (c, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tr, wr), lambda c, r, *_: (r, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tr, wr), lambda c, r, *_: (r, 0, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((tile, tile), lambda r, c, *_: (r, c),
+            out_specs=pl.BlockSpec((tr, tc), lambda c, r, *_: (r, c),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((2, wr, wc), jnp.uint8),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((nrt * tile, nct * tile), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((nrt * tr, nct * tc), jnp.uint8),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
