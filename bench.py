@@ -246,8 +246,9 @@ def main():
         "bad_window_dma": "one DMA per distinct window (group) kept; "
         "per-program re-DMA measured equal within noise — r2 'regression' "
         "was share swing",
-        "pallas_resize": "XLA gather resize stays default (pallas variant "
-        "measured 32.3 vs 28.5 ms detect-4K, ties at 8K); opt-in via "
+        "pallas_resize": "XLA gather resize stays default (round-3 "
+        "rectangular-tile pallas variant ties within noise: 22.3 vs 21.2 ms "
+        "detect-4K, 65.0 vs 66.4 at 8K); opt-in via "
         "FeatureConfig.pallas_resize / EFF_TPU_PALLAS_RESIZE",
     }
 
