@@ -239,6 +239,9 @@ def main():
     if _osp.exists(prof):
         with open(prof) as f:
             detail["stage_profile"] = json.load(f)
+        detail["stage_profile"]["note"] = (
+            "2-3 iteration protocol: rows carry ~8-12 ms of fixed "
+            "round-trip tax — use comparatively, not absolutely")
     detail["decisions"] = {
         "hs_fused_kernel": "off by A/B (fused recomputes 3.5x bilinear "
         "samples for quantized-patch gradients; two-stage wins ~70 vs "

@@ -868,7 +868,7 @@ def _warp_patches_windows_impl(image, x, y, size, angle, valid,
 # ride the same exact one-hot MXU gathers as the patch itself (2048-wide
 # sample blocks, two half-passes RL / UD per pair).
 #
-# Mosaic has no atan2: orientation comes from a degree-8 minimax atan
+# Mosaic has no atan2: orientation comes from a degree-9 (in t^2) least-squares atan
 # polynomial (max |err| 9.7e-8 rad < the 1e-6 budget that keeps histogram
 # bin flips ~1e-6, inside the 1e-4 descriptor-byte budget) with quadrant
 # fixup; divisions use Newton-refined reciprocals (Mosaic f32 divide is a
