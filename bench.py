@@ -102,7 +102,7 @@ def main():
     for k, img in images.items():
         metrics.append((f"detect_{k}",
                         lambda img=img: P.detect_jit(img, det_cfg),
-                        16, baselines_detect[k]))
+                        32 if k != "8k" else 16, baselines_detect[k]))
 
     # compute-only: 40k fixed keypoints on the 4K image (README.md:58-63)
     img4k = images["4k"]
@@ -183,7 +183,7 @@ def main():
     mask4k = jnp.asarray(np.ones(sizes["4k"], np.uint8))
     metrics.append(("detect_4k_masked",
                     lambda: P.detect_masked_jit(img4k, mask4k, det_cfg),
-                    12, None))
+                    24, None))
 
     # A/B: Pallas tiled MXU resize vs XLA-gather pyramid (detect 4K/8K)
     for k in ("4k", "8k"):
@@ -211,7 +211,7 @@ def main():
     step, _state = streaming_step_fn(P.FeatureConfig(
         nfeatures=4000, descriptor_type="bad_256"), sizes["fhd"])
     frame = images["fhd"]
-    metrics.append(("streaming_fhd_frame", lambda: step(frame), 16, None))
+    metrics.append(("streaming_fhd_frame", lambda: step(frame), 32, None))
 
     # compile + warm everything, then three interleaved measurement passes
     for _, fn, _, _ in metrics:
