@@ -89,6 +89,31 @@ def _spatial_weight_core():
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _grad_shift_mat():
+    """(1024, 2048) f32 constant for the fused kernel's quantized-patch
+    gradients: one MXU matmul q(.,1024) @ G replaces the in-kernel lane
+    shifts (slow on TPU) and the recomputed neighbor sample grids (3.5x the
+    bilinear work — the round-3 fused kernel's losing trade).
+
+    Rows = full 32x32 row-major patch lane p = yy*32 + xx; output lanes
+    l < 1024 carry dx[l] and lanes 1024+l carry dy[l] for padded interior
+    lane l (l < 900: yy = l//30 + 1, xx = l%30 + 1; dead lanes zero), with
+      dx = p[yy, xx+1] - p[yy, xx-1]   (patch_sift_responses:158)
+      dy = p[yy-1, xx] - p[yy+1, xx]   (patch_sift_responses:159)
+    Entries are {-1, 0, +1} and q is an exact <=255 integer, both exact in
+    bf16, and each output is a two-term f32 accumulation — so the matmul
+    reproduces the integer subtraction bit-for-bit."""
+    G = np.zeros((1024, 2048), np.float32)
+    for l in range(900):
+        yy, xx = l // 30 + 1, l % 30 + 1
+        G[yy * 32 + xx + 1, l] += 1.0
+        G[yy * 32 + xx - 1, l] -= 1.0
+        G[(yy - 1) * 32 + xx, 1024 + l] += 1.0
+        G[(yy + 1) * 32 + xx, 1024 + l] -= 1.0
+    return G
+
+
 def hs_fused_projection(nbits: int):
     """(B0, Bp) for the fused-kernel descriptor layout: the kernel emits
     e[l] = d[(l%16)*8 + l//16] (orientation-major 8x16 core flattened), so

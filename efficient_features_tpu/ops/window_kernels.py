@@ -860,13 +860,15 @@ def _warp_patches_windows_impl(image, x, y, size, angle, valid,
 # descriptor (the learned projection GEMM stays in XLA, precision-highest).
 #
 # Gradient trick: the oracle differentiates the QUANTIZED patch
-# (dx = p[y,x+1] - p[y,x-1]), and lane-shifting a patch row is slow on TPU —
-# instead the kernel RECOMPUTES the four neighbor sample grids
-# (R,L,U,D = patch coords (x+-1, y), (x, y-+1)) as extra warped samples.
-# Quantization is deterministic per sample position, so quantize(recomputed
-# sample) == the shifted quantized patch value bit-for-bit; the four grids
-# ride the same exact one-hot MXU gathers as the patch itself (2048-wide
-# sample blocks, two half-passes RL / UD per pair).
+# (dx = p[y,x+1] - p[y,x-1]), and lane-shifting a patch row is slow on TPU.
+# The round-3 kernel RECOMPUTED the four neighbor sample grids as extra
+# warped samples (3.5x the bilinear work of the patch itself) and lost its
+# A/B to the two-stage path.  This version samples the 32x32 patch ONCE
+# (the exact _warp_kernel contract) and takes both gradients with a single
+# constant-matrix MXU matmul q @ G (hash_sift._grad_shift_mat): G's {-1,0,1}
+# entries and the <=255 integer patch values are exact in bf16 and each
+# output is a two-term f32 accumulation, so the matmul equals the oracle's
+# integer subtraction bit-for-bit.
 #
 # Mosaic has no atan2: orientation comes from a degree-9 (in t^2) least-squares atan
 # polynomial (max |err| 9.7e-8 rad < the 1e-6 budget that keeps histogram
@@ -913,7 +915,7 @@ def _atan2_poly(yv, xv):
 
 
 def _hs_fused_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref, wsp_ref,
-                     img_hbm, out_ref, win_ref, winbf_ref, sem, *,
+                     dg_ref, img_hbm, out_ref, win_ref, winbf_ref, sem, *,
                      cropping_scale, img_w, img_h):
     """Fused HashSIFT, two keypoints per MXU pass (see module comment)."""
     i = pl.program_id(0)
@@ -971,34 +973,27 @@ def _hs_fused_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref, wsp_ref,
         oy = (by_ref[idx] + row_off).astype(jnp.float32)
         return blk, (cost, sint, m02, m12, ox, oy)
 
-    def grids_uv(aff, dx0, dy0, dx1, dy1):
-        """Sample coords for two neighbor grids [g0|g1] as one (1, 2048) row:
-        lane g*1024 + i samples patch coord (x + dx_g, y + dy_g) of interior
-        pixel i (i<900: x = i%30+1, y = i//30+1; the padded tail is dead)."""
+    def patch_uv(aff):
+        """Local sample coords for the full 32x32 row-major patch grid
+        (lane = y*32 + x, the _warp_kernel layout)."""
         cost, sint, m02, m12, ox, oy = aff
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * npx), 1)
-        g = lane // npx
-        pi = lane % npx
-        dead = pi >= 900
-        xx = pi % 30 + 1
-        yy = pi // 30 + 1
-        pxv = (xx + jnp.where(g == 0, dx0, dx1)).astype(jnp.float32)
-        pyv = (yy + jnp.where(g == 0, dy0, dy1)).astype(jnp.float32)
+        pidx = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
+        pxv = (pidx % 32).astype(jnp.float32)
+        pyv = (pidx // 32).astype(jnp.float32)
         u = cost * pxv - sint * pyv + m02
         v = sint * pxv + cost * pyv + m12
         ui = jnp.floor(u).astype(jnp.int32)
         vi = jnp.floor(v).astype(jnp.int32)
-        ok = ((ui >= 0) & (ui + 1 < img_w) & (vi >= 0) & (vi + 1 < img_h)
-              & jnp.logical_not(dead))
+        ok = ((ui >= 0) & (ui + 1 < img_w) & (vi >= 0) & (vi + 1 < img_h))
         return u - ox, v - oy, ok
 
     def sample_pair(lhs, uv0, uv1):
-        """Quantized warped samples for both keypoints at their (1, 2048)
+        """Quantized warped samples for both keypoints at their (1, npx)
         local sample coords: exact one-hot gathers + full-f32 VPU lerp +
         hat-sum + u8 quantization (the _warp_kernel contract)."""
         u0, v0, ok0 = uv0
         u1, v1, ok1 = uv1
-        w2 = 2 * npx
+        w2 = npx
         ksel = jax.lax.broadcasted_iota(jnp.int32, (2 * _WARP_CW, w2), 0)
         hi = (ksel >= _WARP_CW)
         cc = jnp.where(hi, ksel - _WARP_CW, ksel).astype(jnp.float32)
@@ -1038,82 +1033,77 @@ def _hs_fused_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref, wsp_ref,
         v_lo = mag - v_hi
         return oi, v_lo, v_hi
 
-    def body(pair):
+    # ---- phase 1: sample all 8 patches (the plain warp kernel's cost) ----
+    qs = []
+    for pair in range(_WARP_KPB // 2):
         blk0, aff0 = half(pair, 0)
         blk1, aff1 = half(pair, 1)
         z64 = jnp.zeros((64, _WARP_CW), jnp.bfloat16)
         lhs = jnp.concatenate(
             [jnp.concatenate([blk0, z64], axis=1),
              jnp.concatenate([z64, blk1], axis=1)], axis=0)   # (128, 128)
+        q0, q1 = sample_pair(lhs, patch_uv(aff0), patch_uv(aff1))
+        qs.extend((q0, q1))
 
-        # half-pass 1: horizontal neighbor grids R=(x+1,y), L=(x-1,y)
-        qrl0, qrl1 = sample_pair(lhs, grids_uv(aff0, 1, 0, -1, 0),
-                                 grids_uv(aff1, 1, 0, -1, 0))
-        # half-pass 2: vertical neighbor grids U=(x,y-1), D=(x,y+1)
-        qud0, qud1 = sample_pair(lhs, grids_uv(aff0, 0, -1, 0, 1),
-                                 grids_uv(aff1, 0, -1, 0, 1))
+    # ---- phase 2: both quantized-patch gradients for the whole block from
+    # ONE exact constant matmul (see module comment; dg lanes [0:1024) = dx,
+    # [1024:2048) = dy on the padded interior layout — dead lanes have
+    # all-zero columns).  Block-batched on purpose: these matmuls are VMEM
+    # weight-stream-bound (the MXU re-reads the whole constant per call —
+    # 4 MB here, 0.5 MB for wsp), so per-pair calls cost ~4x per keypoint.
+    qq = jnp.concatenate(qs, axis=0).astype(jnp.bfloat16)     # (8, 1024)
+    g2 = jnp.dot(qq, dg_ref[...],
+                 preferred_element_type=jnp.float32)          # (8, 2048)
 
-        # quantized-patch gradients (oracle: dx = p[y,x+1]-p[y,x-1],
-        # dy = p[y-1,x]-p[y+1,x]); static 1024-lane slices are aligned
-        votes = []
-        for (qrl, qud) in ((qrl0, qud0), (qrl1, qud1)):
-            dxv = (jax.lax.slice(qrl, (0, 0), (1, npx))
-                   - jax.lax.slice(qrl, (0, npx), (1, 2 * npx)))
-            dyv = (jax.lax.slice(qud, (0, 0), (1, npx))
-                   - jax.lax.slice(qud, (0, npx), (1, 2 * npx)))
-            votes.append(sift_votes(dxv, dyv))
-
-        # vote matrix: rows = (kp, orientation bin), circular bin 8 folded
-        # into 0 at vote time (== the oracle's post-crop fold, up to f32
-        # accumulation order)
-        rsel = jax.lax.broadcasted_iota(jnp.int32, (16, npx), 0)
-        kp_row = rsel // 8
-        o_row = rsel % 8
-        oi_b = jnp.where(kp_row == 0, votes[0][0], votes[1][0])
-        vlo_b = jnp.where(kp_row == 0, votes[0][1], votes[1][1])
-        vhi_b = jnp.where(kp_row == 0, votes[0][2], votes[1][2])
-        oip1 = oi_b + 1
+    # ---- phase 3: orientation votes -> one (64, 1024) vote matrix (rows =
+    # (kp, orientation bin), circular bin 8 folded into 0 at vote time ==
+    # the oracle's post-crop fold, up to f32 accumulation order) -> ONE
+    # spatial-core histogram matmul for the block.
+    Vs = []
+    for k in range(_WARP_KPB):
+        dxv = jax.lax.slice(g2, (k, 0), (k + 1, npx))
+        dyv = jax.lax.slice(g2, (k, npx), (k + 1, 2 * npx))
+        oi, vlo, vhi = sift_votes(dxv, dyv)                   # (1, npx)
+        o_row = jax.lax.broadcasted_iota(jnp.int32, (8, npx), 0)
+        oip1 = oi + 1
         oip1 = jnp.where(oip1 == 8, 0, oip1)
-        V = (jnp.where(o_row == oi_b, vlo_b, np.float32(0.0))
-             + jnp.where(o_row == oip1, vhi_b, np.float32(0.0)))
+        Vs.append(jnp.where(o_row == oi, vlo, np.float32(0.0))
+                  + jnp.where(o_row == oip1, vhi, np.float32(0.0)))
+    V = jnp.concatenate(Vs, axis=0)                           # (64, 1024)
 
-        # (16, 1024) @ (1024, 128) f32: H[(kp, o), rc] spatial-core histogram.
-        # precision=HIGHEST: Mosaic's default f32 dot rounds through bf16
-        # passes — measured ~1% of quantized desc entries flipping by 1 vs
-        # the oracle on chip; the full-f32 path matches the XLA stage's
-        # precision="highest" GEMM class (flips ~0.1%)
-        H = jnp.dot(V, wsp_ref[...], preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+    # precision=HIGHEST: Mosaic's default f32 dot rounds through bf16
+    # passes — measured ~1% of quantized desc entries flipping by 1 vs
+    # the oracle on chip; the full-f32 path matches the XLA stage's
+    # precision="highest" GEMM class (flips ~0.1%)
+    H = jnp.dot(V, wsp_ref[...], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)          # (64, 128)
 
-        for j in (0, 1):
-            hb = jax.lax.slice(H, (8 * j, 0), (8 * j + 8, 128))  # (8, 128)
-            nrm = jnp.maximum(jnp.sqrt((hb * hb).sum()), _EPS32)
-            d = hb * _recip(nrm)
-            d = jnp.minimum(d, np.float32(0.2))
-            nrm2 = jnp.maximum(jnp.sqrt((d * d).sum()), _EPS32)
-            d = d * _recip(nrm2)
-            q = jnp.clip(jnp.trunc(np.float32(512.0) * d + np.float32(0.5)),
-                         0.0, 255.0)
-            # orientation-major flatten (8, 16) -> (1, 128): e[o*16+rc] =
-            # q[o, rc].  Mosaic cannot concat/reshape sublanes into lanes;
-            # instead one exact one-hot matmul replicates each 16-lane core
-            # across the row (qA[o, l] = q[o, l%16] — values are small exact
-            # ints, bf16-safe) and a masked sublane sum picks row l//16.
-            # The XLA projection uses hs_fused_projection's permuted columns.
-            csel2 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-            lsel2 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-            A = (csel2 == lsel2 % 16).astype(jnp.bfloat16)
-            qa = jnp.dot(q.astype(jnp.bfloat16), A,
-                         preferred_element_type=jnp.float32)  # (8, 128)
-            osel = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-            osel_l = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) // 16
-            row = jnp.where(osel == osel_l, qa, np.float32(0.0)).sum(
-                axis=0, keepdims=True)                        # (1, 128)
-            out_ref[2 * pair + j:2 * pair + j + 1, :] = row.astype(
-                jnp.int32).astype(jnp.uint8)
-
-    for pair in range(_WARP_KPB // 2):
-        body(pair)
+    # ---- phase 4: per-keypoint normalize / quantize / flatten / store ----
+    for k in range(_WARP_KPB):
+        hb = jax.lax.slice(H, (8 * k, 0), (8 * k + 8, 128))   # (8, 128)
+        nrm = jnp.maximum(jnp.sqrt((hb * hb).sum()), _EPS32)
+        d = hb * _recip(nrm)
+        d = jnp.minimum(d, np.float32(0.2))
+        nrm2 = jnp.maximum(jnp.sqrt((d * d).sum()), _EPS32)
+        d = d * _recip(nrm2)
+        q = jnp.clip(jnp.trunc(np.float32(512.0) * d + np.float32(0.5)),
+                     0.0, 255.0)
+        # orientation-major flatten (8, 16) -> (1, 128): e[o*16+rc] =
+        # q[o, rc].  Mosaic cannot concat/reshape sublanes into lanes;
+        # instead one exact one-hot matmul replicates each 16-lane core
+        # across the row (qA[o, l] = q[o, l%16] — values are small exact
+        # ints, bf16-safe) and a masked sublane sum picks row l//16.
+        # The XLA projection uses hs_fused_projection's permuted columns.
+        csel2 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        lsel2 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        A = (csel2 == lsel2 % 16).astype(jnp.bfloat16)
+        qa = jnp.dot(q.astype(jnp.bfloat16), A,
+                     preferred_element_type=jnp.float32)      # (8, 128)
+        osel = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        osel_l = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) // 16
+        row = jnp.where(osel == osel_l, qa, np.float32(0.0)).sum(
+            axis=0, keepdims=True)                            # (1, 128)
+        out_ref[k:k + 1, :] = row.astype(jnp.int32).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnums=(6,))
@@ -1137,6 +1127,7 @@ def _hs_desc_windows_impl(image, x, y, size, angle, valid,
     meta = ((grp & 1) | (start << 1)).astype(jnp.int32)
     kp = jnp.stack([kx, ky, ks, ka], axis=1)
     wsp = jnp.asarray(_hs._spatial_weight_core())
+    dg = jnp.asarray(_hs._grad_shift_mat()).astype(jnp.bfloat16)
 
     kernel = functools.partial(_hs_fused_kernel,
                                cropping_scale=cropping_scale,
@@ -1150,6 +1141,8 @@ def _hs_desc_windows_impl(image, x, y, size, angle, valid,
                 pl.BlockSpec((_WARP_KPB, 4), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1024, 128), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1024, 2048), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
@@ -1165,7 +1158,7 @@ def _hs_desc_windows_impl(image, x, y, size, angle, valid,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(by, bx, meta, nstart, kp, wsp, padded)
+    )(by, bx, meta, nstart, kp, wsp, dg, padded)
     inv = jnp.zeros_like(order).at[order].set(
         jnp.arange(order.shape[0], dtype=order.dtype))
     return jnp.where(valid[:, None], jnp.take(out[:n], inv, axis=0), 0)

@@ -209,14 +209,21 @@ def _use_fused_hs() -> bool:
     """Opt-in fused HashSIFT kernel (warp+gradients+histogram+normalize in
     one Pallas pass, EFF_TPU_FUSED_HS=1).
 
-    Decided OFF by same-session A/B (BENCH_DETAIL round 3: fused 120.1 ms vs
-    two-stage 70.9 ms at 40k/4K): gradients of the quantized patch force the
-    fused kernel to recompute the four neighbor sample grids (3.5x the
-    bilinear samples of the patch itself) because in-kernel lane shifts are
-    slow on TPU, while the two-stage path gets gradients from plain XLA
-    shifts of the (N, 1024) patch array at full VPU rate.  The patch HBM
-    round trip the fusion saves (~82 MB at 40k) costs ~0.1 ms at healthy
-    HBM rates — the fusion is the wrong trade on any chip."""
+    Decided OFF by two rounds of same-session A/Bs at 40k/4K.  Round 3's
+    kernel recomputed four neighbor sample grids for the quantized-patch
+    gradients (3.5x the bilinear work) and lost 120 vs 71 ms.  The rewrite
+    eliminated that excuse — patch sampled once, both gradients from one
+    exact constant matmul (ops.hash_sift._grad_shift_mat) — and STILL loses
+    54.5 vs 44.1 ms: in-kernel matmuls against the gradient/spatial-weight
+    constants are VMEM weight-stream-bound at small M (per-pair calls
+    measured 78 ms, per-8-kp-block calls 54.5 — the 4x stream reduction
+    recovered exactly the predicted ~24 ms), while the two-stage path runs
+    the same contractions as (40k, 1024)-row GEMMs where the weight stream
+    amortizes to nothing.  Extrapolating a full cross-block (M=64) batching
+    lands at a tie, and the patch HBM round trip the fusion saves (~82 MB
+    at 40k) costs ~0.1 ms at healthy HBM rates — per-keypoint fusion (the
+    reference's CUDA shape, cuda_hash_sift.cu:380-412) is structurally the
+    wrong trade on TPU; staged big-batch GEMMs are the right one."""
     import os
     return os.environ.get("EFF_TPU_FUSED_HS", "0") == "1"
 
