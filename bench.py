@@ -243,9 +243,11 @@ def main():
             "2-3 iteration protocol: rows carry ~8-12 ms of fixed "
             "round-trip tax — use comparatively, not absolutely")
     detail["decisions"] = {
-        "hs_fused_kernel": "off by A/B (fused recomputes 3.5x bilinear "
-        "samples for quantized-patch gradients; two-stage wins ~70 vs "
-        "~120 ms at 40k; EFF_TPU_FUSED_HS=1 opts in)",
+        "hs_fused_kernel": "off by A/B, twice (round-3 rewrite samples the "
+        "patch once, one-matmul exact gradients + per-block M=8 constant "
+        "matmuls: 54.5 vs 44.1 ms at 40k; in-kernel constant matmuls are "
+        "VMEM weight-stream-bound at small M while two-stage runs the same "
+        "contractions as (40k,1024)-row GEMMs; EFF_TPU_FUSED_HS=1 opts in)",
         "bad_window_dma": "one DMA per distinct window (group) kept; "
         "per-program re-DMA measured equal within noise — r2 'regression' "
         "was share swing",

@@ -228,25 +228,26 @@ class _DescriptorBase:
         # bucket runs the window kernel at its geometry (oversized buckets
         # take the gather path inside compute_bucketed_jit)
         svals = kp[:, 2].astype(np.float64) * self._scale / 32.0
-        kidx = np.zeros(n, np.int64)
-        m = svals > WK._S_BASE
-        kidx[m] = np.ceil(np.log(svals[m] / WK._S_BASE)
-                          / np.log(1.2) - 1e-9).astype(np.int64)
-        kidx[svals > WK._S_CAP] = 1 << 30      # gather bucket, sorts last
-        order = np.argsort(kidx, kind="stable")
+        # one ladder definition: WK.bucket_scale maps each affine scale to
+        # its bucket's static s_max (the same values _bucket_smax and the
+        # detector path use); beyond _S_CAP the exact gather path takes over
+        uniq, inv = np.unique(svals, return_inverse=True)
+        usmax = np.array([WK.bucket_scale(float(s)) for s in uniq])
+        kb = usmax[inv]
+        kb[svals > WK._S_CAP] = np.inf         # gather bucket, sorts last
+        order = np.argsort(kb, kind="stable")
         ranges = []
         padded_rows = []
         pos = np.zeros(n, np.int64)            # padded row of each input kp
         off = 0
-        for k in np.unique(kidx):
-            sel = order[kidx[order] == k]
+        for k in np.unique(kb):
+            sel = order[kb[order] == k]
             cap = -(-len(sel) // _PAD) * _PAD
             blk = np.zeros((cap, 4), np.float32)
             blk[:len(sel)] = kp[sel]
             padded_rows.append(blk)
             pos[sel] = off + np.arange(len(sel))
-            smax = (None if k >= (1 << 30)
-                    else round(float(WK._S_BASE) * 1.2 ** int(k), 4))
+            smax = None if not np.isfinite(k) else float(k)
             ranges.append((off, off + cap, smax))
             off += cap
         padded = np.concatenate(padded_rows, axis=0)
@@ -412,18 +413,33 @@ class EfficientFeatures:
 
     # -- multi-chip scaling (no reference analogue: it is single-GPU) --------
 
-    def detect_and_compute_batch(self, images, mesh=None):
+    def detect_and_compute_batch(self, images, mesh=None, as_host=False):
         """Batched detect+compute with the batch axis sharded over a device
         mesh (dp).  images: (B, H, W) uint8, B divisible by the mesh size.
         Returns (slot dict with leading batch dim, descriptors) sharded on
-        device; see parallel/sharding.py."""
+        device; see parallel/sharding.py.  A single-device mesh is the
+        single-chip throughput path: B frames run inside ONE executable
+        (lax.map), amortizing per-dispatch overhead.
+
+        as_host=True instead fetches everything and returns a list of
+        (KeyPoints, descriptors) per image, descriptor rows compacted to the
+        valid keypoints — `detect_and_compute` ergonomics for batches."""
         from .parallel import sharding as SH
         images = np.asarray(images)
         if images.ndim != 3 or images.dtype != np.uint8:
             raise ValueError("images must be (B, H, W) uint8")
         mesh = mesh or SH.make_mesh()
-        return SH.detect_and_compute_batch(
+        slots, desc = SH.detect_and_compute_batch(
             SH.shard_batch(images, mesh), self._cfg, mesh)
+        if not as_host:
+            return slots, desc
+        ranges = P.level_slot_ranges(self._cfg, *images.shape[1:])
+        host = {k: np.asarray(v) for k, v in slots.items()}
+        desc = np.asarray(desc)
+        return [(KeyPoints({k: v[i] for k, v in host.items()},
+                           max_size=self._max_kp_size(), level_ranges=ranges),
+                 desc[i][host["valid"][i]])
+                for i in range(images.shape[0])]
 
     @staticmethod
     def _as_mask(mask, shape):

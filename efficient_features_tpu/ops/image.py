@@ -235,7 +235,12 @@ def resize_u8_pallas(src: jax.Array, dst_hw: tuple[int, int]) -> jax.Array:
 def resize_u8_fast(src: jax.Array, dst_hw: tuple[int, int],
                    pallas_resize: bool | None = None) -> jax.Array:
     """resize_u8 via the Pallas tile kernel on TPU (bit-identical), XLA
-    gathers elsewhere / for tiny levels."""
+    gathers elsewhere / for tiny levels.
+
+    `pallas_resize=True` is a TPU-only accelerator switch: on any other
+    backend (e.g. the CPU test mesh) the XLA gather resize still runs —
+    outputs are bit-identical either way, so only timing differs.  A/B the
+    kernel itself off-chip with resize_u8_pallas (interpret mode)."""
     use = _use_pallas_resize() if pallas_resize is None else (
         pallas_resize and jax.default_backend() == "tpu")
     if use and min(dst_hw) >= 16:

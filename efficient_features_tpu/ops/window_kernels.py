@@ -999,7 +999,7 @@ def _hs_fused_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref, wsp_ref,
         cc = jnp.where(hi, ksel - _WARP_CW, ksel).astype(jnp.float32)
         uu = jnp.where(hi, u1, u0)
         ufl = jnp.floor(uu)
-        Xl = (cc == ufl).astype(jnp.bfloat16)                 # (128, 2048)
+        Xl = (cc == ufl).astype(jnp.bfloat16)                 # (128, npx)
         Xr = (cc == ufl + np.float32(1.0)).astype(jnp.bfloat16)
         z_l = jnp.dot(lhs, Xl, preferred_element_type=jnp.float32)
         z_r = jnp.dot(lhs, Xr, preferred_element_type=jnp.float32)
@@ -1011,7 +1011,7 @@ def _hs_fused_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref, wsp_ref,
         vv = jnp.where(rhi, v1, v0)
         Y = jnp.maximum(np.float32(1.0) - jnp.abs(rr - vv), np.float32(0.0))
         prod = Y * sres
-        t0 = prod[0:64].sum(axis=0, keepdims=True)            # (1, 2048)
+        t0 = prod[0:64].sum(axis=0, keepdims=True)            # (1, npx)
         t1 = prod[64:128].sum(axis=0, keepdims=True)
         q0 = jnp.minimum(jnp.trunc(t0 + np.float32(0.5)), np.float32(255.0))
         q1 = jnp.minimum(jnp.trunc(t1 + np.float32(0.5)), np.float32(255.0))

@@ -22,7 +22,7 @@ on real TPU slices unchanged.
 """
 from __future__ import annotations
 
-
+import functools
 
 import numpy as np
 import jax
@@ -46,13 +46,11 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
 # ---------------------------------------------------------------------------
 
 
-def detect_and_compute_batch(images: jax.Array, cfg: P.FeatureConfig,
-                             mesh: Mesh):
-    """Batched detect+compute, batch axis sharded over the mesh.
-
-    images: (B, H, W) uint8, B divisible by mesh size.  Returns sharded slot
-    arrays (B, nslots, ...) and descriptors (B, nslots, bytes).
-    """
+@functools.lru_cache(maxsize=None)
+def _batch_jit(cfg: P.FeatureConfig, mesh: Mesh):
+    """One jitted executable per (cfg, mesh): repeated batch calls reuse the
+    trace/compile (the jit cache is keyed on the function object, so the
+    shard_map closure must be built once, not per call)."""
     def single(image):
         slots, desc = P.detect_and_compute_core(image, cfg, True)
         slots.pop("x_level")
@@ -69,7 +67,17 @@ def detect_and_compute_batch(images: jax.Array, cfg: P.FeatureConfig,
     in_spec = P_(axis, None, None)
     sharded = jax.shard_map(batched, mesh=mesh, in_specs=(in_spec,),
                             out_specs=(P_(axis), P_(axis)), check_vma=False)
-    return jax.jit(sharded)(images)
+    return jax.jit(sharded)
+
+
+def detect_and_compute_batch(images: jax.Array, cfg: P.FeatureConfig,
+                             mesh: Mesh):
+    """Batched detect+compute, batch axis sharded over the mesh.
+
+    images: (B, H, W) uint8, B divisible by mesh size.  Returns sharded slot
+    arrays (B, nslots, ...) and descriptors (B, nslots, bytes).
+    """
+    return _batch_jit(cfg, mesh)(images)
 
 
 def compute_sharded(image: jax.Array, keypoints_xysa: jax.Array,
@@ -92,15 +100,26 @@ def compute_sharded(image: jax.Array, keypoints_xysa: jax.Array,
     kp = jnp.pad(keypoints_xysa.astype(jnp.float32),
                  ((0, n_pad - n), (0, 0)))
     v = jnp.pad(valid.astype(bool), (0, n_pad - n))
+    fn = _compute_sharded_jit(mesh, nbits, kind, scale, windows_ok)
+    return fn(image, kp, v)[:n]
 
-    def shard_fn(kp_blk, v_blk):
+
+@functools.lru_cache(maxsize=None)
+def _compute_sharded_jit(mesh: Mesh, nbits: int, kind: str, scale: float,
+                         windows_ok: bool):
+    """Cached jitted executable per static config (see _batch_jit): the image
+    rides as a replicated argument so repeated serving calls hit the same
+    trace."""
+    axis = mesh.axis_names[0]
+
+    def shard_fn(image, kp_blk, v_blk):
         return P.compute_jit(image, kp_blk, v_blk, nbits, kind, scale,
                              windows_ok)
 
     fn = jax.shard_map(shard_fn, mesh=mesh,
-                       in_specs=(P_(axis, None), P_(axis)),
+                       in_specs=(P_(None, None), P_(axis, None), P_(axis)),
                        out_specs=P_(axis, None), check_vma=False)
-    return jax.jit(fn)(kp, v)[:n]
+    return jax.jit(fn)
 
 
 # ---------------------------------------------------------------------------

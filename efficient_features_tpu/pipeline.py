@@ -51,7 +51,9 @@ class FeatureConfig:
     nonmax_radius: int = 15
     descriptor_type: str = "hash_sift_256"
     # None -> environment default (ops.image._use_pallas_resize); True/False
-    # force the tiled MXU pyramid resize on/off (A/B-able per config)
+    # force the tiled MXU pyramid resize on/off (A/B-able per config).
+    # TPU-only: off-TPU the bit-identical XLA resize always runs (the Pallas
+    # kernel only exists compiled; see ops.image.resize_u8_fast)
     pallas_resize: bool | None = None
 
     @property

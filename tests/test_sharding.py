@@ -176,3 +176,28 @@ def test_compute_sharded_keypoint_axis():
             jnp.asarray(img), jnp.asarray(kp), jnp.asarray(valid), 256,
             kind, 1.0, False))
         np.testing.assert_array_equal(got, want)
+
+
+def test_api_batch_as_host_matches_single():
+    """detect_and_compute_batch(as_host=True) returns per-image KeyPoints +
+    compacted descriptors identical to single-image detect_and_compute, and
+    the returned KeyPoints carry the static level layout (bucketed
+    compute() works on them)."""
+    from efficient_features_tpu import EfficientFeatures
+
+    feat = EfficientFeatures(nfeatures=300, nlevels=3,
+                             descriptor_type="bad_256")
+    images = np.stack([make_test_image(96, 128, seed=200 + i)
+                       for i in range(2)])
+    out = feat.detect_and_compute_batch(images, mesh=SH.make_mesh(2),
+                                        as_host=True)
+    assert len(out) == 2
+    for i, (kps, desc) in enumerate(out):
+        k1, d1 = feat.detect_and_compute(images[i])
+        assert len(kps) == len(k1)
+        a, b = kps.as_arrays(), k1.as_arrays()
+        np.testing.assert_array_equal(a["x"], b["x"])
+        np.testing.assert_array_equal(a["y"], b["y"])
+        np.testing.assert_array_equal(desc, d1)
+        np.testing.assert_array_equal(feat.compute(images[i], kps),
+                                      feat.compute(images[i], k1))
