@@ -1,7 +1,9 @@
 """Two-image matching demo (samples/sample_feature_matching.cpp).
 
 Detects + describes in both images, matches with cross-checked Hamming
-brute force on the MXU, optionally draws matches.
+brute force on the MXU, optionally verifies the matches geometrically with
+the batched RANSAC homography (--homography; no reference analogue — the
+CUDA sample stops at raw matches), optionally draws matches.
 
     python samples/sample_feature_matching.py [img1 img2] [--out out.png]
 """
@@ -19,6 +21,9 @@ def main():
     ap.add_argument("--descriptor-type", type=int, default=0)
     ap.add_argument("--descriptor-bits", type=int, default=256)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--homography", action="store_true",
+                    help="RANSAC-verify matches with a homography model")
+    ap.add_argument("--ransac-thresh", type=float, default=3.0)
     args = ap.parse_args()
 
     from efficient_features_tpu import EfficientFeatures
@@ -44,6 +49,21 @@ def main():
     j, dist, valid = np.asarray(j), np.asarray(dist), np.asarray(valid)
     print(f"kps: {len(kps1)} / {len(kps2)}; cross-checked matches: "
           f"{int(valid.sum())}; mean hamming {dist[valid].mean():.1f}")
+
+    if args.homography:
+        from efficient_features_tpu.ops import ransac
+        xy1 = kps1.xysa()[:, :2]
+        xy2 = kps2.xysa()[:, :2]
+        src = xy1                      # row i of d1 <-> keypoint i of kps1
+        dst = xy2[np.clip(j, 0, len(xy2) - 1)]
+        H, inl, n_inl = ransac.find_homography_ransac(
+            src, dst, valid, thresh=args.ransac_thresh)
+        inl = np.asarray(inl)
+        print(f"RANSAC homography: {int(n_inl)} inliers of "
+              f"{int(valid.sum())} matches "
+              f"({100.0 * int(n_inl) / max(int(valid.sum()), 1):.1f}%)")
+        print(np.array_str(np.asarray(H), precision=4, suppress_small=True))
+        valid = valid & inl            # draw verified matches only
 
     if args.out:
         try:

@@ -47,6 +47,17 @@ def test_sample_feature_matching(monkeypatch, capsys):
     assert nm > 30
 
 
+def test_sample_feature_matching_homography(monkeypatch, capsys):
+    import sample_feature_matching as m
+    out = _run_main(m, ["x", "--max-keypoints", "400", "--homography"],
+                    monkeypatch, capsys)
+    got = re.search(r"RANSAC homography: (\d+) inliers of (\d+)", out)
+    n_inl, nm = int(got.group(1)), int(got.group(2))
+    # the synthetic pair is an exact rigid warp: most cross-checked
+    # matches must survive geometric verification
+    assert nm > 30 and n_inl / nm > 0.7
+
+
 def test_sample_image_sequence(monkeypatch, capsys):
     import sample_image_sequence as m
     out = _run_main(m, ["x", "--frames", "3", "--max-keypoints", "300"],
@@ -55,6 +66,19 @@ def test_sample_image_sequence(monkeypatch, capsys):
     assert [f[0] for f in frames] == ["0", "1", "2"]
     assert all(int(f[1]) > 20 for f in frames)
     assert int(frames[2][2]) > 10          # consecutive-frame matches
+
+
+def test_sample_image_sequence_homography(monkeypatch, capsys):
+    """--homography: RANSAC inliers ride the same jitted step; the synthetic
+    sequence is a pure translation+jitter, so most matches are inliers."""
+    import sample_image_sequence as m
+    out = _run_main(m, ["x", "--frames", "3", "--max-keypoints", "300",
+                        "--homography"], monkeypatch, capsys)
+    rows = re.findall(r"frame (\d+): (\d+) kps, (\d+) matches, [0-9.]+ ms"
+                      r"(?:, (\d+) RANSAC inliers)?", out)
+    assert [r[0] for r in rows] == ["0", "1", "2"]
+    nm, ninl = int(rows[2][2]), int(rows[2][3])
+    assert nm > 10 and ninl / nm > 0.6
 
 
 @pytest.mark.parametrize("btype", [0, 1, 2])

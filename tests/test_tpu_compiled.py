@@ -44,6 +44,12 @@ from test_buckets import (  # noqa: F401
     test_bad_bucket_kernel_wide_border_exact,
     test_warp_big_bucket_octaves,
 )
+# RANSAC homography (pure XLA: Gumbel top-k sampling + batched 9x9 eigh +
+# batched reprojection matmuls) compiled on the real chip
+from test_ransac import (  # noqa: F401
+    test_recovers_homography_with_outliers,
+    test_exact_on_clean_minimal_data,
+)
 
 pytestmark = pytest.mark.tpu
 
