@@ -146,11 +146,18 @@ def detect_rows_sharded(image: jax.Array, cfg: P.FeatureConfig, mesh: Mesh,
     can each be sharded the same way; single-level here keeps the collective
     pattern clear.)  Returns (ys, xs, resp, valid) of global top `quota`.
     """
+    h, w = image.shape
+    return _rows_sharded_jit(h, w, cfg, mesh, quota or cfg.nfeatures)(image)
+
+
+@functools.lru_cache(maxsize=None)
+def _rows_sharded_jit(h: int, w: int, cfg: P.FeatureConfig, mesh: Mesh,
+                      quota: int):
+    """Cached jitted executable per (shape, cfg, mesh, quota) — see
+    _batch_jit for why the shard_map closure must be built once."""
     axis = mesh.axis_names[0]
     n = mesh.devices.size
-    h, w = image.shape
     assert h % n == 0, "image rows must divide the mesh"
-    quota = quota or cfg.nfeatures
     halo = _halo_rows(cfg)
 
     def band_fn(band):  # band: (h/n, w)
@@ -203,7 +210,7 @@ def detect_rows_sharded(image: jax.Array, cfg: P.FeatureConfig, mesh: Mesh,
     sharded = jax.shard_map(band_fn, mesh=mesh, in_specs=(P_(axis, None),),
                             out_specs=(P_(None), P_(None), P_(None), P_(None)),
                             check_vma=False)
-    return jax.jit(sharded)(image)
+    return jax.jit(sharded)
 
 
 def shard_batch(images: np.ndarray, mesh: Mesh) -> jax.Array:
@@ -235,13 +242,24 @@ def detect_pyramid_rows_sharded(image: jax.Array, cfg: P.FeatureConfig,
     global border semantics via the ops' origin/frame parameters), and a psum
     combines the disjoint rows — bit-compatible with detect_and_compute_jit.
     """
+    h, w = image.shape
+    fn, pad_h = _pyramid_sharded_jit(h, w, cfg, mesh, with_descriptors)
+    padded = jnp.pad(image, ((0, pad_h), (0, 0)))
+    return fn(padded)
+
+
+@functools.lru_cache(maxsize=None)
+def _pyramid_sharded_jit(h: int, w: int, cfg: P.FeatureConfig, mesh: Mesh,
+                         with_descriptors: bool):
+    """Cached jitted executable per (shape, cfg, mesh) — see _batch_jit: the
+    shard_map closure (and its trace-time resize tables) must be built once
+    so repeated mesh= API calls reuse the trace/compile."""
     from ..ops import image as OI
     from ..ops import bad as OB
     from ..ops import hash_sift as OHS
 
     axis = mesh.axis_names[0]
     n = mesh.devices.size
-    h, w = image.shape
     shapes = S.pyramid_shapes(h, w, cfg.scale_factor, cfg.nlevels)
     scales = S.pyramid_scales(cfg.scale_factor, cfg.nlevels)
     quotas = S.features_per_level(cfg.nfeatures, cfg.scale_factor,
@@ -411,8 +429,6 @@ def detect_pyramid_rows_sharded(image: jax.Array, cfg: P.FeatureConfig,
             return slots, jnp.concatenate(descs, axis=0)
         return slots
 
-    pad_h = n * bh[0] - h
-    padded = jnp.pad(image, ((0, pad_h), (0, 0)))
     sharded = jax.shard_map(band_fn, mesh=mesh, in_specs=(P_(axis, None),),
                             out_specs=P_(), check_vma=False)
-    return jax.jit(sharded)(padded)
+    return jax.jit(sharded), n * bh[0] - h

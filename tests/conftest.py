@@ -32,10 +32,13 @@ if not RUN_TPU:
     jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the suite is dominated by XLA-CPU compiles of the
 # many pipeline signatures; repeat runs drop from ~12 min to ~2 min.
-# Keyed by backend so the TPU tier and the CPU mesh never share AOT artifacts.
-jax.config.update("jax_compilation_cache_dir",
-                  "/tmp/eff_tpu_xla_cache/" + ("tpu" if RUN_TPU else "cpu"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Keyed by backend AND host-CPU fingerprint (utils/compile_cache.py): a CPU
+# executable cached on a different machine segfaults on deserialize.
+import sys  # noqa: E402
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from efficient_features_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.setup("/tmp/eff_tpu_xla_cache", "tpu" if RUN_TPU else "cpu")
 
 
 def pytest_configure(config):

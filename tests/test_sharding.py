@@ -1,9 +1,41 @@
 """Multi-chip sharding tests on the virtual 8-device CPU mesh."""
 import numpy as np
+import pytest
 
 import efficient_features_tpu  # noqa: F401
 import jax
 import jax.numpy as jnp
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_compile_cache():
+    """Keep sharded compiles OUT of the persistent compile cache.
+
+    Serializing multi-device XLA:CPU executables segfaults in this jaxlib
+    (observed hard crashes in both compilation_cache.put_executable_and_time
+    while caching test_sp_pyramid_sharded_with_descriptors and
+    get_executable_and_time while loading test_api_mesh_detect...); every
+    other module's single-device executables round-trip fine.
+
+    Merely clearing jax_compilation_cache_dir is NOT enough: jax memoizes
+    is_cache_used() after the first compile, so the flag flip must be
+    followed by compilation_cache.reset_cache() to take effect.
+
+    jax.clear_caches() drops the full suite's live jitted executables before
+    this module's huge 8-device compiles: with hundreds of executables still
+    resident, XLA:CPU's backend_compile_and_load segfaults on the first big
+    multi-device module (reproduced deterministically at
+    test_sp_pyramid_sharded_with_descriptors in full-suite runs, never in
+    isolation; unlimited stack does not help — the correlate is live
+    compiled-code volume)."""
+    from jax._src import compilation_cache as cc
+
+    jax.config.update("jax_enable_compilation_cache", False)
+    cc.reset_cache()
+    jax.clear_caches()
+    yield
+    jax.config.update("jax_enable_compilation_cache", True)
+    cc.reset_cache()
 
 from efficient_features_tpu import pipeline as P
 from efficient_features_tpu.parallel import sharding as SH
