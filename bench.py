@@ -54,16 +54,21 @@ def main():
     # platform (shared scheme with __graft_entry__._enable_compile_cache).
     import os
     here = os.path.dirname(os.path.abspath(__file__))
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(here, ".xla_cache", jax.default_backend()))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from efficient_features_tpu.utils import compile_cache
+    compile_cache.setup(os.path.join(here, ".xla_cache"),
+                        jax.default_backend())
 
     import jax.numpy as jnp
     from efficient_features_tpu import pipeline as P
 
     def read(out):
+        # Force completion with a host round trip (block_until_ready returns
+        # early under axon) — but transfer ONE element, not the whole leaf:
+        # device_get of a full (4096,4096) probe output ships 64 MB through
+        # the tunnel and was dominating the hw-probe windows (read 1.1
+        # "TFLOPs" while a 4-byte-read probe measured 34 on the same chip).
         leaf = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(jax.device_get(leaf))
+        np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
 
     def time_once(fn, iters):
         t0 = time.perf_counter()
@@ -92,6 +97,9 @@ def main():
     big = jnp.ones((4096, 4096), jnp.float32)
     ew = jax.jit(lambda x: x * 1.000001 + 0.001)
     metrics.append(("hw_ew", lambda: ew(big), 10, None))
+    # device->host tunnel bandwidth (context for the one-element read
+    # protocol: full-leaf reads were adding nbytes/this per window)
+    metrics.append(("hw_d2h", lambda: jax.device_get(big), 2, None))
 
     sizes = {"fhd": (1080, 1920), "4k": (2160, 3840), "8k": (4320, 7680)}
     images = {k: jnp.asarray(make_bench_image(*hw)) for k, hw in sizes.items()}
@@ -213,6 +221,17 @@ def main():
     frame = images["fhd"]
     metrics.append(("streaming_fhd_frame", lambda: step(frame), 32, None))
 
+    # batched throughput: 4 FHD frames inside ONE executable (lax.map on a
+    # single-device mesh) — the TPU answer to stream concurrency: per-frame
+    # cost amortizes per-dispatch overhead (derived per-frame row below)
+    from efficient_features_tpu.parallel import sharding as SHm
+    bmesh = SHm.make_mesh(1)
+    bcfg = P.FeatureConfig(nfeatures=4000, descriptor_type="bad_256")
+    batch4 = jnp.stack([images["fhd"]] * 4)
+    metrics.append(("batch4_fhd",
+                    lambda: SHm.detect_and_compute_batch(batch4, bcfg, bmesh),
+                    8, None))
+
     # compile + warm everything, then three interleaved measurement passes
     for _, fn, _, _ in metrics:
         read(fn())
@@ -225,12 +244,17 @@ def main():
     detail["hw_bf16_tflops"] = round(2 * 4096 ** 3 / (ms_mm / 1e3) / 1e12, 2)
     ms_ew = best["hw_ew"]
     detail["hw_hbm_gbps"] = round(2 * big.size * 4 / (ms_ew / 1e3) / 1e9, 1)
+    detail["hw_d2h_gbps"] = round(big.size * 4 / (best["hw_d2h"] / 1e3) / 1e9,
+                                  2)
     for key, _, _, base in metrics:
         if key.startswith("hw_"):
             continue
         detail[f"{key}_ms"] = round(best[key], 2)
         if base is not None:
             detail[f"{key}_vs_rtx3060ti"] = round(base / best[key], 4)
+    if "batch4_fhd_ms" in detail:
+        detail["batch4_fhd_per_frame_ms"] = round(detail["batch4_fhd_ms"] / 4,
+                                                  2)
 
     # attach the stage profile (tools/profile_stages.py) and the round-3
     # A/B decisions so the context travels with every bench record
@@ -239,9 +263,10 @@ def main():
     if _osp.exists(prof):
         with open(prof) as f:
             detail["stage_profile"] = json.load(f)
-        detail["stage_profile"]["note"] = (
+        # older profiles predate the per-file note; tag them with theirs
+        detail["stage_profile"].setdefault("note", (
             "2-3 iteration protocol: rows carry ~8-12 ms of fixed "
-            "round-trip tax — use comparatively, not absolutely")
+            "round-trip tax — use comparatively, not absolutely"))
     detail["decisions"] = {
         "hs_fused_kernel": "off by A/B, twice (round-3 rewrite samples the "
         "patch once, one-matmul exact gradients + per-block M=8 constant "

@@ -30,9 +30,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     import jax
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(here, ".xla_cache", jax.default_backend()))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from efficient_features_tpu.utils import compile_cache
+    compile_cache.setup(os.path.join(here, ".xla_cache"),
+                        jax.default_backend())
     import jax.numpy as jnp
     from efficient_features_tpu import pipeline as P
     from efficient_features_tpu.ops import image as OI
@@ -45,12 +45,19 @@ def main():
     from bench import make_bench_image
 
     def read(out):
+        # one-element host read: forces completion (block_until_ready returns
+        # early under axon) WITHOUT shipping the whole leaf through the
+        # tunnel — device_get of e.g. the 42 MB warp-patch array was
+        # dominating those windows (see bench.py read())
         leaf = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(jax.device_get(leaf))
+        np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
 
     registry = []   # (key, fn, iters)
 
-    def reg(key, fn, iters=3):
+    def reg(key, fn, iters=12):
+        # >= 6 iters everywhere: each measurement window carries a fixed
+        # ~25 ms tunnel round trip (round-3 probe), so the 2-3-iteration
+        # rows of earlier rounds overstated every stage by ~8-12 ms
         registry.append((key, fn, iters))
 
     h, w = 2160, 3840
@@ -133,7 +140,7 @@ def main():
                     lambda kx=kx, ky=ky, sz=sz, ang=ang, ok=ok, nb=nbits:
                         WK.bad_descriptors_windows(img, kx, ky, sz, ang,
                                                    ok, nb, 1.0),
-                    iters=2)
+                    iters=6)
 
     # --- HashSIFT two-stage split -----------------------------------------
     n = 40960
@@ -153,9 +160,9 @@ def main():
     gemm = jax.jit(lambda r: jnp.dot(r, B.T,
                                      preferred_element_type=jnp.float32,
                                      precision="highest"))
-    reg("hs_warp40k_ms", warp, iters=2)
-    reg("hs_hist40k_ms", lambda: hist(patches), iters=2)
-    reg("hs_gemm40k_ms", lambda: gemm(responses), iters=2)
+    reg("hs_warp40k_ms", warp, iters=6)
+    reg("hs_hist40k_ms", lambda: hist(patches), iters=6)
+    reg("hs_gemm40k_ms", lambda: gemm(responses), iters=6)
 
     # hist matmul precision ladder (time only; parity must be re-validated
     # before any precision drop ships)
@@ -163,7 +170,7 @@ def main():
         f = jax.jit(functools.partial(_hist_prec, n=n, prec=prec, OH=OH,
                                       jnp=jnp))
         reg(f"hs_hist40k_{prec}_ms",
-            lambda f=f: f(patches), iters=2)
+            lambda f=f: f(patches), iters=6)
 
     # --- interleaved measurement ------------------------------------------
     for _, fn, _ in registry:
@@ -179,6 +186,10 @@ def main():
                             (time.perf_counter() - t0) * 1e3 / iters)
 
     res = {k: round(v, 2) for k, v in best.items()}
+    res["note"] = ("interleaved min-of-3 passes, 6-12 iters/row (amortizes "
+                   "the fixed ~25 ms tunnel round trip); standalone-jitted "
+                   "stages still carry dispatch overhead vs the fused "
+                   "pipeline — use comparatively, not absolutely")
     res["detect4k_assembly_ms"] = round(
         res["detect4k_full_ms"] - res["detect4k_ic_ms"], 2)
     for n in (10, 40, 100):
