@@ -83,3 +83,22 @@ def test_input_validation():
         RS.find_homography_ransac(np.zeros((3, 2)), np.zeros((3, 2)))
     with pytest.raises(ValueError):
         RS.find_homography_ransac(np.zeros((5, 3)), np.zeros((5, 3)))
+
+
+def test_degenerate_too_few_valid():
+    """< 4 valid matches cannot determine a homography: the fixed-shape
+    program must not crash and must not report a confident inlier set."""
+    _, src, dst, _ = _scene(seed=11, n=64)
+    valid = np.zeros(64, bool)
+    valid[:3] = True
+    _, inl, n_inl = RS.find_homography_ransac(src, dst, valid=valid,
+                                              iters=32)
+    inl = np.asarray(inl)
+    assert int(n_inl) <= 3 and not inl[~valid].any()
+
+
+def test_degenerate_all_invalid():
+    _, src, dst, _ = _scene(seed=12, n=32)
+    _, inl, n_inl = RS.find_homography_ransac(
+        src, dst, valid=np.zeros(32, bool), iters=32)
+    assert int(n_inl) == 0 and not np.asarray(inl).any()
