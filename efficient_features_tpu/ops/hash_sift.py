@@ -195,23 +195,31 @@ def patch_sift_responses(patches: jax.Array) -> jax.Array:
     v_hi = of * mag
     v_lo = mag - v_hi
 
+    # Only the 4x4 CORE spatial bins survive the crop below, so contract
+    # against the (900, 16) core columns, not the full 6x6=36 grid — each
+    # kept output column is the identical dot product (bit-identical), the
+    # dropped edge columns were discarded anyway.  Likewise orientation bin
+    # 9 is provably all-zero (oi is wrapped to [0, 8), so oi + 1 <= 8) and
+    # its fold added exact +0.0 — 9 matmuls, not 10.  Together: 60% of the
+    # histogram matmul FLOPs removed with bit-identical descriptors.
     Wsp = jnp.asarray(_spatial_weight_matrix())               # (900, 36)
+    core_cols = jnp.asarray(
+        [(r + 1) * (C_BINS + 2) + (c + 1)
+         for r in range(R_BINS) for c in range(C_BINS)], jnp.int32)
+    Wcore = Wsp[:, core_cols]                                 # (900, 16)
 
-    # ten (N, 900) @ (900, 36) matmuls, one per orientation bin.
+    # nine (N, 900) @ (900, 16) matmuls, one per orientation bin.
     # precision='highest': full f32 MXU accumulation — descriptor sign bits are
     # compared against an f32 oracle, bf16 default precision is not enough.
     hists = []
-    for o in range(ORI_BINS + 2):
+    for o in range(ORI_BINS + 1):
         v_o = jnp.where(oi == o, v_lo, 0.0) + jnp.where(oi + 1 == o, v_hi, 0.0)
-        hists.append(jnp.dot(v_o, Wsp, preferred_element_type=jnp.float32,
+        hists.append(jnp.dot(v_o, Wcore, preferred_element_type=jnp.float32,
                              precision="highest"))
-    hist = jnp.stack(hists, axis=-1)                          # (N, 36, 10)
-    hist = hist.reshape(n, R_BINS + 2, C_BINS + 2, ORI_BINS + 2)
-
-    core = hist[:, 1:1 + R_BINS, 1:1 + C_BINS, :]
-    core = core.at[..., 0].add(core[..., ORI_BINS])
-    core = core.at[..., 1].add(core[..., ORI_BINS + 1])
-    desc = core[..., :ORI_BINS].reshape(n, 128)
+    core = jnp.stack(hists, axis=-1)                  # (N, 16, 9)
+    core = core.reshape(n, R_BINS, C_BINS, ORI_BINS + 1)
+    core = core[..., :ORI_BINS].at[..., 0].add(core[..., ORI_BINS])
+    desc = core.reshape(n, 128)
 
     eps = np.float32(np.finfo(np.float32).eps)
 
