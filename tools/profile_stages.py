@@ -121,6 +121,17 @@ def main():
     reg("detect4k_ic_ms", lambda: with_ic(img))
     reg("detect4k_full_ms", lambda: P.detect_jit(img, cfg))
 
+    # split INSIDE the cells kernel, level-0 (4K) only: FAST+Harris alone /
+    # + NMS (standalone kernels) / + cell reduce (the production kernel)
+    fh0 = jax.jit(lambda im: PK.fast_harris(im, cfg.fast_threshold))
+    fhn0 = jax.jit(lambda im: PK.fast_harris_nms(im, cfg.fast_threshold,
+                                                 cfg.nonmax_radius))
+    cells0 = jax.jit(lambda im: PK.fast_harris_nms_cells(
+        im, cfg.fast_threshold, cfg.nonmax_radius)[0])
+    reg("detect4k_l0_fh_ms", lambda: fh0(img))
+    reg("detect4k_l0_fh_nms_ms", lambda: fhn0(img))
+    reg("detect4k_l0_cells_ms", lambda: cells0(img))
+
     # --- BAD window-kernel scaling ----------------------------------------
     rng = np.random.default_rng(1)
     for n in (10240, 40960, 102400):
