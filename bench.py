@@ -280,6 +280,15 @@ def main():
         "rectangular-tile pallas variant ties within noise: 22.3 vs 21.2 ms "
         "detect-4K, 65.0 vs 66.4 at 8K); opt-in via "
         "FeatureConfig.pallas_resize / EFF_TPU_PALLAS_RESIZE",
+        "read_protocol": "round 3.5: all timing windows end in a ONE-element "
+        "host read (full-leaf device_get shipped up to 64 MB through the "
+        "tunnel per window — the hw probes read 1.1 'TFLOPs' where a "
+        "4-byte-read probe measures 34); hw_d2h_gbps records the tunnel "
+        "rate for context",
+        "hs_hist_core": "round 3.5: the histogram contracts against the 16 "
+        "core spatial-bin columns only and skips the provably-zero "
+        "orientation-bin-9 matmul — 60% of hist matmul FLOPs removed, "
+        "verified bit-identical",
     }
 
     ms = best["detect_and_compute_4k_40k_bad_256"]
