@@ -170,14 +170,48 @@ def _pad_n(arrs, kpb):
 
 def _affine_scalars(kx, ky, ksize, kang, scale):
     """getAffineTransform scalars (cuda_hash_sift.cu:136-155); s folded in."""
+    s, cost, sint = _affine_trig(ksize, kang, scale)
+    m02 = (-cost + sint) * np.float32(16.0) + kx
+    m12 = (-sint - cost) * np.float32(16.0) + ky
+    return s, cost, sint, m02, m12
+
+
+def _affine_trig(ksize, kang, scale):
+    """XLA-side half of _affine_scalars: s, cos, sin only.
+
+    m02/m12 must NOT be precomputed XLA-side when cost/sint also ride the
+    kp block: XLA may re-evaluate cos in different fusions with 1-ulp
+    differences, and an m02 inconsistent with the block's cost breaks the
+    exact u=0 cancellation at the keypoint-anchored patch pixel (caught by
+    the warp fuzz test at a keypoint on the image corner).  The kernels
+    rebuild m02/m12 in-kernel from the block values (two mul/adds, no
+    trig), which restores the cancellation by construction."""
     s = np.float32(scale) * ksize / np.float32(32.0)
     theta = kang * DEG2RAD
     has = kang >= 0
     cost = jnp.where(has, jnp.cos(theta), np.float32(1.0)) * s
     sint = jnp.where(has, jnp.sin(theta), np.float32(0.0)) * s
+    return s, cost, sint
+
+
+def _affine_block(kx, ky, ksize, kang, scale):
+    """(N, 8) f32 kp block [x, y, cost, sint, s, s, s, s] (lanes 5-7 pad)."""
+    s, cost, sint = _affine_trig(ksize, kang, scale)
+    return jnp.stack([kx, ky, cost, sint, s, s, s, s], axis=1)
+
+
+def _affine_from_block(kp_ref, k):
+    """Per-keypoint scalars from the kp block; m02/m12 rebuilt in-kernel so
+    they are exactly consistent with the block's cost/sint (see
+    _affine_trig)."""
+    kx = kp_ref[k, 0]
+    ky = kp_ref[k, 1]
+    cost = kp_ref[k, 2]
+    sint = kp_ref[k, 3]
+    s = kp_ref[k, 4]
     m02 = (-cost + sint) * np.float32(16.0) + kx
     m12 = (-sint - cost) * np.float32(16.0) + ky
-    return s, cost, sint, m02, m12
+    return kx, ky, s, cost, sint, m02, m12
 
 
 # ---------------------------------------------------------------------------
@@ -355,6 +389,161 @@ def _bad_kernel(by_ref, bx_ref, meta_ref, nstart_ref,
     jax.lax.fori_loop(0, _BAD_KPB, body, 0)
 
 
+def _bad_kernel_noroll(by_ref, bx_ref, meta_ref, nstart_ref,
+                       kp_ref, par_ref, img_hbm, out_ref, win_ref, win8_ref,
+                       sem, *, nbits, img_w, img_h,
+                       win_h=96, win_w=256, half=32, wide_boxes=False):
+    """BAD window kernel, roll-free formulation (round-4 A/B vs _bad_kernel).
+
+    The round-3 stage profile attributed ~90% of the kernel to per-keypoint
+    fixed work (window rolls, bias/cast, affine scalars, MXU issue).  This
+    variant removes all three VPU/scalar items:
+      - the (win_h, win_w) u8->i32 cast + re-bias happens ONCE per window
+        DMA into an int8 scratch (win8_ref), not once per keypoint;
+      - the two per-keypoint pltpu.rolls are replaced by ONE exact one-hot
+        column-compaction matmul (win8 @ P selects the 2*half columns around
+        the keypoint — the _warp_kernel trick) and the row shift is folded
+        into the rr indicator bounds for free (indicator bound arithmetic
+        costs the same at any offset), at the price of rr/z heights win_h
+        instead of 2*half;
+      - the affine scalars (cos/sin/m02/m12/s) arrive precomputed per
+        keypoint in the kp block (XLA-side _affine_scalars), so the scalar
+        core runs no transcendentals.
+    Exactness contract is unchanged: one-hot factors x biased int8 pixels
+    give exact int32 box sums (+128*area undoes the bias); trig moves from
+    the in-kernel scalar core to XLA — the same backend-ULP class the parity
+    budget already covers (module docstring)."""
+    i = pl.program_id(0)
+    par = par_ref[...]                    # (8, nbits): x1 x2 y1 y2 r th rows
+    bx1 = par[0:1, :]
+    bx2 = par[1:2, :]
+    by1 = par[2:3, :]
+    by2 = par[3:4, :]
+    br = par[4:5, :]
+    thv = par[5:6, :]
+
+    cw = 2 * half
+    rows_t = jax.lax.broadcasted_iota(jnp.int32, (win_h, nbits), 0)
+    cols_t = jax.lax.broadcasted_iota(jnp.int32, (cw, nbits), 0)
+    pr = jax.lax.broadcasted_iota(jnp.int32, (nbits, nbits // 8), 0)
+    pc = jax.lax.broadcasted_iota(jnp.int32, (nbits, nbits // 8), 1)
+    pack = jnp.where(pr // 8 == pc,
+                     jnp.exp2((7 - pr % 8).astype(jnp.float32)), 0.0)
+    csel = jax.lax.broadcasted_iota(jnp.int32, (win_w, cw), 0)
+    jsel = jax.lax.broadcasted_iota(jnp.int32, (win_w, cw), 1)
+
+    def get_dma(slot, idx):
+        return pltpu.make_async_copy(
+            img_hbm.at[pl.ds(pl.multiple_of(by_ref[idx], 8), win_h),
+                       pl.ds(pl.multiple_of(bx_ref[idx], 128), win_w)],
+            win_ref.at[slot], sem.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        get_dma(meta_ref[0] & 1, 0).start()
+
+    def body(k, carry):
+        idx = i * _BAD_KPB + k
+        meta = meta_ref[idx]
+        slot = meta & 1
+
+        @pl.when((meta >> 1) == 1)
+        def _():
+            nxt = nstart_ref[idx]
+
+            @pl.when(nxt < nstart_ref.shape[0])
+            def _():
+                get_dma(1 - slot, nxt).start()
+
+            get_dma(slot, idx).wait()
+            # bias/cast once per window DMA, shared by all its keypoints
+            win8_ref[slot] = (win_ref[slot].astype(jnp.int32)
+                              - 128).astype(jnp.int8)
+
+        kx, ky, s, cost, sint, m02, m12 = _affine_from_block(kp_ref, k)
+
+        def rnd(v):
+            return jnp.trunc(v + np.float32(0.5)).astype(jnp.int32)
+
+        oy = by_ref[idx]
+        ox = bx_ref[idx]
+        # one-hot column compaction around the keypoint (clamped at image
+        # edges; box corners stay inside [off, off+cw) — clamps pull them
+        # toward the in-image keypoint, see the geometry notes in bad_geom)
+        xloc = jnp.floor(kx).astype(jnp.int32) - ox
+        off = jnp.clip(xloc - half, 0, win_w - cw)
+        Pm = (csel == jsel + off).astype(jnp.int8)
+        win_c = jnp.dot(win8_ref[slot], Pm,
+                        preferred_element_type=jnp.int32)
+        win_c8 = win_c.astype(jnp.int8)               # biased pixels, exact
+
+        ox_l = ox + off
+        # transformBoxPairParams (cuda_bad.cu:149-157), window-local coords
+        # (rows are NOT compacted: the row origin folds into the rr bounds)
+        tx1 = rnd(cost * bx1 - sint * by1 + m02) - ox_l
+        ty1 = rnd(sint * bx1 + cost * by1 + m12) - oy
+        tx2 = rnd(cost * bx2 - sint * by2 + m02) - ox_l
+        ty2 = rnd(sint * bx2 + cost * by2 + m12) - oy
+        tbr = rnd(s * br)
+
+        lo_y = -oy
+        hi_y = jnp.int32(img_h) - oy
+        lo_x = -ox_l
+        hi_x = jnp.int32(img_w) - ox_l
+
+        def box_sums(cy, cx):
+            iy1 = jnp.clip(cy - tbr, lo_y, hi_y - 1)
+            iy2 = jnp.clip(cy + tbr + 1, lo_y + 1, hi_y)
+            ix1 = jnp.clip(cx - tbr, lo_x, hi_x - 1)
+            ix2 = jnp.clip(cx + tbr + 1, lo_x + 1, hi_x)
+            cc = ((cols_t - ix1).astype(jnp.uint32)
+                  < (ix2 - ix1).astype(jnp.uint32))
+            rr = ((rows_t - iy1).astype(jnp.uint32)
+                  < (iy2 - iy1).astype(jnp.uint32))
+            z = jnp.dot(win_c8, cc.astype(jnp.int8),
+                        preferred_element_type=jnp.int32)
+            area = (iy2 - iy1) * (ix2 - ix1)                # (1, nbits)
+            ssum = (rr.astype(jnp.int32) * z).sum(axis=0, keepdims=True) \
+                + 128 * area
+            return ssum, area                               # exact int32
+
+        s1i, a1i = box_sums(ty1, tx1)
+        s2i, a2i = box_sums(ty2, tx2)
+        side = (1 + 2 * tbr).astype(jnp.float32)
+        bit_fast = ((s1i - s2i).astype(jnp.float32)
+                    <= thv * (side * side))
+        lhs = (s1i * a2i - s2i * a1i).astype(jnp.float32)
+        bit_border = lhs <= thv * (a1i * a2i).astype(jnp.float32)
+        if wide_boxes:
+            a1f = a1i.astype(jnp.float32)
+            a2f = a2i.astype(jnp.float32)
+
+            def t12(v):
+                iv = pltpu.bitcast(v, jnp.int32)
+                return pltpu.bitcast(iv & jnp.int32(~0xFFF), jnp.float32)
+
+            s1t = t12(s1i.astype(jnp.float32))
+            s2t = t12(s2i.astype(jnp.float32))
+            a1t = t12(a1f)
+            a2t = t12(a2f)
+            bit_border_t = (s1t * a2t - s2t * a1t) <= thv * (a1t * a2t)
+            safe = a1f * a2f < np.float32(1 << 22)
+            bit_border = jnp.where(safe, bit_border.astype(jnp.float32),
+                                   bit_border_t.astype(jnp.float32))
+
+        bw = np.float32(16.0) * MARGIN * s          # 32 * (s/2) * MARGIN
+        in_border = ((kx < bw) | (kx + bw >= np.float32(img_w)) |
+                     (ky < bw) | (ky + bw >= np.float32(img_h)))
+
+        bits = jnp.where(in_border, bit_border.astype(jnp.float32),
+                         bit_fast.astype(jnp.float32))
+        bytes_row = jnp.dot(bits, pack, preferred_element_type=jnp.float32)
+        out_ref[pl.ds(k, 1), :] = bytes_row
+        return carry
+
+    jax.lax.fori_loop(0, _BAD_KPB, body, 0)
+
+
 def _window_key(by, bx, pad_w):
     """Collision-free sort/group key for (row, col) window origins: bx is a
     multiple of 128, so index the 128-wide column slots — works for any image
@@ -417,11 +606,12 @@ def _chunked(fn, n_args, chunk=_MAX_KP_CHUNK):
 
 
 @functools.partial(jax.jit, static_argnums=(6, 7, 8, 9),
-                   static_argnames=("s_max", "dma_mode"))
+                   static_argnames=("s_max", "dma_mode", "formulation"))
 def _bad_descriptors_windows_impl(image, x, y, size, angle, valid,
                                   nbits: int, scale_factor: float,
                                   s_max: float = _S_BASE,
-                                  dma_mode: str = "group"):
+                                  dma_mode: str = "group",
+                                  formulation: str = "noroll"):
     """(N, nbits//8) uint8 BAD descriptors via the window kernel; exact.
 
     `s_max` (static): upper bound on the affine scale scale_factor*size/32 of
@@ -429,7 +619,11 @@ def _bad_descriptors_windows_impl(image, x, y, size, angle, valid,
     `dma_mode` (static): "group" = one DMA per distinct window, persisting
     across programs (round-2 default); "program" additionally re-DMAs at
     every program start (the round-1 behavior, kept for same-session A/B —
-    see BENCH_DETAIL dma_ab)."""
+    see BENCH_DETAIL dma_ab).
+    `formulation` (static): "noroll" (round-4 default — per-DMA cached int8
+    window, one-hot column compaction, XLA-side affine scalars; see
+    _bad_kernel_noroll) or "roll" (round-2/3 per-keypoint window rotation,
+    kept for same-session A/B — see BENCH_DETAIL bad_formulation)."""
     h, w = image.shape
     geom = bad_geom(s_max)
     base_y, base_x, pad_h, pad_w = plan_windows(x, y, h, w, geom)
@@ -452,7 +646,11 @@ def _bad_descriptors_windows_impl(image, x, y, size, angle, valid,
         grp, start, nstart = _window_groups(
             _window_key(by, bx, pad_w), _BAD_KPB)
     meta = ((grp & 1) | (start << 1)).astype(jnp.int32)
-    kp = jnp.stack([kx, ky, ks, ka], axis=1)
+    if formulation == "noroll":
+        # trig batched out of the in-kernel scalar core
+        kp = _affine_block(kx, ky, ks, ka, scale_factor)
+    else:
+        kp = jnp.stack([kx, ky, ks, ka], axis=1)
 
     boxes, th = load_bad_params(nbits)
     par = np.zeros((8, nbits), np.float32)
@@ -466,18 +664,30 @@ def _bad_descriptors_windows_impl(image, x, y, size, angle, valid,
     # wide_boxes: the int32 cross products of the border compare can exceed
     # 2^31 once side^4 > 2^22 (cf. ops.bad) — only reachable at s >~ 3.2
     side_max = 2 * int(round(7.0 * s_max)) + 1
-    kernel = functools.partial(_bad_kernel, nbits=nbits,
-                               scale_factor=scale_factor, img_w=w, img_h=h,
-                               win_h=geom.win_h, win_w=geom.win_w,
-                               half=geom.half,
-                               wide_boxes=side_max ** 4 > (1 << 22))
+    wide = side_max ** 4 > (1 << 22)
+    scratch = [pltpu.VMEM((2, geom.win_h, geom.win_w), jnp.uint8)]
+    if formulation == "noroll":
+        kernel = functools.partial(_bad_kernel_noroll, nbits=nbits,
+                                   img_w=w, img_h=h,
+                                   win_h=geom.win_h, win_w=geom.win_w,
+                                   half=geom.half, wide_boxes=wide)
+        kp_cols = 8
+        scratch.append(pltpu.VMEM((2, geom.win_h, geom.win_w), jnp.int8))
+    else:
+        kernel = functools.partial(_bad_kernel, nbits=nbits,
+                                   scale_factor=scale_factor,
+                                   img_w=w, img_h=h,
+                                   win_h=geom.win_h, win_w=geom.win_w,
+                                   half=geom.half, wide_boxes=wide)
+        kp_cols = 4
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(n_pad // _BAD_KPB,),
             in_specs=[
-                pl.BlockSpec((_BAD_KPB, 4), lambda i, *_: (i, 0),
+                pl.BlockSpec((_BAD_KPB, kp_cols), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, nbits), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -486,10 +696,7 @@ def _bad_descriptors_windows_impl(image, x, y, size, angle, valid,
             out_specs=pl.BlockSpec((_BAD_KPB, nbits // 8),
                                    lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((2, geom.win_h, geom.win_w), jnp.uint8),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, nbits // 8), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -651,7 +858,7 @@ _WARP_CW = 64
 
 def _warp_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref,
                  img_hbm, out_ref, win_ref, winbf_ref, sem, *,
-                 cropping_scale, img_w, img_h):
+                 img_w, img_h):
     """Patch warp, two keypoints per MXU pass.
 
     Keypoints are processed in PAIRS sharing (128,128)@(128,1024) matmuls:
@@ -659,7 +866,8 @@ def _warp_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref,
     the LHS and their one-hot selectors stack along k, so the full 128-deep
     MXU contraction is used (a single keypoint only fills 64x64 of a tile).
     The window is cast to bf16 once per DMA (winbf scratch), not per
-    keypoint."""
+    keypoint, and the affine scalars arrive precomputed in the kp block
+    (XLA-side _affine_scalars) so the scalar core runs no transcendentals."""
     i = pl.program_id(0)
     npx = 32 * 32
 
@@ -695,9 +903,7 @@ def _warp_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref,
             winbf_ref[slot] = win_ref[slot].astype(
                 jnp.int32).astype(jnp.bfloat16)
 
-        _, cost, sint, m02, m12 = _affine_scalars(
-            kp_ref[k, 0], kp_ref[k, 1], kp_ref[k, 2], kp_ref[k, 3],
-            cropping_scale)
+        _, _, _, cost, sint, m02, m12 = _affine_from_block(kp_ref, k)
 
         pidx = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
         pxf = (pidx % 32).astype(jnp.float32)
@@ -817,17 +1023,16 @@ def _warp_patches_windows_impl(image, x, y, size, angle, valid,
     (by, bx, kx, ky, ks, ka), n_pad, n = _pad_n(srt, _WARP_KPB)
     grp, start, nstart = _window_groups(_window_key(by, bx, pad_w), _WARP_KPB)
     meta = ((grp & 1) | (start << 1)).astype(jnp.int32)
-    kp = jnp.stack([kx, ky, ks, ka], axis=1)
+    kp = _affine_block(kx, ky, ks, ka, cropping_scale)
 
-    kernel = functools.partial(_warp_kernel, cropping_scale=cropping_scale,
-                               img_w=w, img_h=h)
+    kernel = functools.partial(_warp_kernel, img_w=w, img_h=h)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(n_pad // _WARP_KPB,),
             in_specs=[
-                pl.BlockSpec((_WARP_KPB, 4), lambda i, *_: (i, 0),
+                pl.BlockSpec((_WARP_KPB, 8), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
@@ -916,7 +1121,7 @@ def _atan2_poly(yv, xv):
 
 def _hs_fused_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref, wsp_ref,
                      dg_ref, img_hbm, out_ref, win_ref, winbf_ref, sem, *,
-                     cropping_scale, img_w, img_h):
+                     img_w, img_h):
     """Fused HashSIFT, two keypoints per MXU pass (see module comment)."""
     i = pl.program_id(0)
     npx = 1024            # padded interior-pixel grid (900 real)
@@ -951,9 +1156,7 @@ def _hs_fused_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref, wsp_ref,
             winbf_ref[slot] = win_ref[slot].astype(
                 jnp.int32).astype(jnp.bfloat16)
 
-        _, cost, sint, m02, m12 = _affine_scalars(
-            kp_ref[k, 0], kp_ref[k, 1], kp_ref[k, 2], kp_ref[k, 3],
-            cropping_scale)
+        _, _, _, cost, sint, m02, m12 = _affine_from_block(kp_ref, k)
 
         yi_loc = jnp.floor(kp_ref[k, 1]).astype(jnp.int32) - by_ref[idx]
         row_off = jnp.clip(((yi_loc - 24) // 8) * 8, 0,
@@ -1125,20 +1328,18 @@ def _hs_desc_windows_impl(image, x, y, size, angle, valid,
     (by, bx, kx, ky, ks, ka), n_pad, n = _pad_n(srt, _WARP_KPB)
     grp, start, nstart = _window_groups(_window_key(by, bx, pad_w), _WARP_KPB)
     meta = ((grp & 1) | (start << 1)).astype(jnp.int32)
-    kp = jnp.stack([kx, ky, ks, ka], axis=1)
+    kp = _affine_block(kx, ky, ks, ka, cropping_scale)
     wsp = jnp.asarray(_hs._spatial_weight_core())
     dg = jnp.asarray(_hs._grad_shift_mat()).astype(jnp.bfloat16)
 
-    kernel = functools.partial(_hs_fused_kernel,
-                               cropping_scale=cropping_scale,
-                               img_w=w, img_h=h)
+    kernel = functools.partial(_hs_fused_kernel, img_w=w, img_h=h)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(n_pad // _WARP_KPB,),
             in_specs=[
-                pl.BlockSpec((_WARP_KPB, 4), lambda i, *_: (i, 0),
+                pl.BlockSpec((_WARP_KPB, 8), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1024, 128), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -1173,7 +1374,7 @@ _WARPB_KPB = 8  # (KPB, 4) kp block needs sublane divisible by 8
 
 def _warp_kernel_big(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref,
                      img_hbm, out_ref, win_ref, winbf_ref, sem, *,
-                     cropping_scale, img_w, img_h, win_h, win_w, half):
+                     img_w, img_h, win_h, win_w, half):
     """Patch warp for octave buckets beyond the pair kernel's 64-col
     compaction (affine scale > _S_BASE): one keypoint per MXU pass.
 
@@ -1216,9 +1417,7 @@ def _warp_kernel_big(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref,
             winbf_ref[slot] = win_ref[slot].astype(
                 jnp.int32).astype(jnp.bfloat16)
 
-        _, cost, sint, m02, m12 = _affine_scalars(
-            kp_ref[k, 0], kp_ref[k, 1], kp_ref[k, 2], kp_ref[k, 3],
-            cropping_scale)
+        _, _, _, cost, sint, m02, m12 = _affine_from_block(kp_ref, k)
 
         pidx = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
         pxf = (pidx % 32).astype(jnp.float32)
@@ -1286,10 +1485,9 @@ def _warp_patches_windows_big_impl(image, x, y, size, angle, valid,
     grp, start, nstart = _window_groups(
         _window_key(by, bx, pad_w), _WARPB_KPB)
     meta = ((grp & 1) | (start << 1)).astype(jnp.int32)
-    kp = jnp.stack([kx, ky, ks, ka], axis=1)
+    kp = _affine_block(kx, ky, ks, ka, cropping_scale)
 
     kernel = functools.partial(_warp_kernel_big,
-                               cropping_scale=cropping_scale,
                                img_w=w, img_h=h, win_h=geom.win_h,
                                win_w=geom.win_w, half=geom.half)
     out = pl.pallas_call(
@@ -1298,7 +1496,7 @@ def _warp_patches_windows_big_impl(image, x, y, size, angle, valid,
             num_scalar_prefetch=4,
             grid=(n_pad // _WARPB_KPB,),
             in_specs=[
-                pl.BlockSpec((_WARPB_KPB, 4), lambda i, *_: (i, 0),
+                pl.BlockSpec((_WARPB_KPB, 8), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],

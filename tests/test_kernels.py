@@ -46,7 +46,8 @@ def test_nms_kernel_bit_exact(img):
         np.testing.assert_array_equal(expect, got)
 
 
-def test_bad_window_kernel_exact(img):
+@pytest.mark.parametrize("formulation", ["noroll", "roll"])
+def test_bad_window_kernel_exact(img, formulation):
     h, w = img.shape
     x, y, size, angle = make_keypoints(h, w, 16, seed=4)
     x[:4] = [1, w - 5, 5, w / 2]
@@ -57,7 +58,7 @@ def test_bad_window_kernel_exact(img):
         b = np.asarray(WK.bad_descriptors_windows(
             jnp.asarray(img), jnp.asarray(x), jnp.asarray(y),
             jnp.asarray(size), jnp.asarray(angle), jnp.asarray(valid),
-            nbits, 1.0))
+            nbits, 1.0, formulation=formulation))
         budget = int(2e-5 * a.size) + 1
         assert (a != b).sum() <= budget
 
