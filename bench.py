@@ -153,16 +153,18 @@ def main():
                 img4k, kp40, valid40, 256, kind, 1.0, br40),
             8, base))
 
-    # A/B: round-1-style per-program window DMA vs round-2 persistent
-    # windows (same synthetic 40k size-31 keypoints; direct kernel calls so
-    # both sides share the un-sort gather)
+    # A/B: roll-free BAD formulation (round-4: per-DMA int8 cache + one-hot
+    # column compaction + XLA-side trig) vs the round-2/3 per-keypoint
+    # window-rotation kernel (same synthetic 40k size-31 keypoints; the
+    # settled DMA A/B — group vs per-program re-DMA, equal within noise —
+    # is recorded in decisions)
     kx, ky, ksz, kang = (kps_j[:, 0], kps_j[:, 1], kps_j[:, 2], kps_j[:, 3])
-    for mode in ("group", "program"):
+    for form in ("noroll", "roll"):
         metrics.append((
-            f"compute40k_bad256_dma_{mode}",
-            lambda mode=mode: WKm.bad_descriptors_windows(
+            f"compute40k_bad256_{form}",
+            lambda form=form: WKm.bad_descriptors_windows(
                 img4k, kx, ky, ksz, kang, valid, 256, 1.0,
-                WKm._S_BASE, mode),
+                WKm._S_BASE, "group", formulation=form),
             8, None))
 
     # A/B: fused HashSIFT kernel vs the round-2 two-stage path (patch kernel

@@ -722,7 +722,7 @@ _IC_WIN_H = 64
 
 
 def _ic_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref, umax_ref,
-               img_hbm, out_ref, win_ref, sem):
+               img_hbm, out_ref, win_ref, winbf_ref, sem):
     i = pl.program_id(0)
     r = S.HALF_PATCH_SIZE
     npr = 2 * r + 1
@@ -751,6 +751,10 @@ def _ic_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref, umax_ref,
                 get_dma(1 - slot, nxt).start()
 
             get_dma(slot, idx).wait()
+            # cast once per window DMA (shared by all its keypoints; at
+            # _IC_KPB=128 the former per-keypoint cast dominated the body)
+            winbf_ref[slot] = win_ref[slot].astype(
+                jnp.int32).astype(jnp.bfloat16)
 
         yloc = kp_ref[k, 0] - by_ref[idx]
         xloc = kp_ref[k, 1] - bx_ref[idx]
@@ -762,8 +766,8 @@ def _ic_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref, umax_ref,
         p_i = jax.lax.broadcasted_iota(jnp.int32, (npr, _IC_WIN_H), 0)
         onerow = (rows_i == p_i + (yloc - r)).astype(jnp.bfloat16)
 
-        win = win_ref[slot].astype(jnp.int32).astype(jnp.bfloat16)
-        t = jnp.dot(onerow, win, preferred_element_type=jnp.float32)
+        t = jnp.dot(onerow, winbf_ref[slot],
+                    preferred_element_type=jnp.float32)
 
         dyv = jax.lax.broadcasted_iota(jnp.int32, (npr, WIN_W), 0) - r
         dxv = jax.lax.broadcasted_iota(jnp.int32, (npr, WIN_W), 1) - xloc
@@ -817,6 +821,7 @@ def _ic_angles_windows_impl(image, ys, xs, valid):
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((2, _IC_WIN_H, WIN_W), jnp.uint8),
+                pltpu.VMEM((2, _IC_WIN_H, WIN_W), jnp.bfloat16),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
