@@ -221,6 +221,112 @@ def _affine_from_block(kp_ref, k):
 _BAD_KPB = 32
 
 
+def _bad_bits_row(win8, rows_t, cols_t, pack, par6, scal, oy_l, ox_l, *,
+                  wide_boxes, img_w, img_h):
+    """Shared per-keypoint BAD bit pipeline (both kernel formulations).
+
+    `win8` is the -128-biased int8 window in local coordinates with origin
+    (oy_l, ox_l); `rows_t`/`cols_t` are int32 iotas whose leading dims match
+    win8's (rows, cols).  Computes transformed box corners
+    (transformBoxPairParams, cuda_bad.cu:149-157), indicator box sums on the
+    int8 MXU, the threshold compare with the exact division-free border
+    branch (+ 12-bit-truncated exact products for wide boxes), the border
+    select, and the MSB-first byte pack.  Returns the (1, nbits//8) f32
+    byte row."""
+    bx1, bx2, by1, by2, br, thv = par6
+    kx, ky, s, cost, sint, m02, m12 = scal
+
+    def rnd(v):
+        return jnp.trunc(v + np.float32(0.5)).astype(jnp.int32)
+
+    tx1 = rnd(cost * bx1 - sint * by1 + m02) - ox_l
+    ty1 = rnd(sint * bx1 + cost * by1 + m12) - oy_l
+    tx2 = rnd(cost * bx2 - sint * by2 + m02) - ox_l
+    ty2 = rnd(sint * bx2 + cost * by2 + m12) - oy_l
+    tbr = rnd(s * br)
+
+    # clamped integral corners; for interior keypoints the clamps never
+    # bind (1.75 margin), so these sums serve both paths exactly
+    lo_y = -oy_l
+    hi_y = jnp.int32(img_h) - oy_l
+    lo_x = -ox_l
+    hi_x = jnp.int32(img_w) - ox_l
+
+    def box_sums(cy, cx):
+        iy1 = jnp.clip(cy - tbr, lo_y, hi_y - 1)
+        iy2 = jnp.clip(cy + tbr + 1, lo_y + 1, hi_y)
+        ix1 = jnp.clip(cx - tbr, lo_x, hi_x - 1)
+        ix2 = jnp.clip(cx + tbr + 1, lo_x + 1, hi_x)
+        # range indicator in ONE unsigned compare per (dim, bit) block
+        # instead of two compares + AND (the indicator builds are a VPU
+        # floor): t in [a, b) <=> u32(t - a) < u32(b - a)
+        cc = ((cols_t - ix1).astype(jnp.uint32)
+              < (ix2 - ix1).astype(jnp.uint32))
+        rr = ((rows_t - iy1).astype(jnp.uint32)
+              < (iy2 - iy1).astype(jnp.uint32))
+        # int8 MXU path (2x the bf16 rate): pixels re-biased to [-128, 127];
+        # the -128 bias contributes exactly -128*area to each box sum (every
+        # selected cell is a real image pixel inside the window), undone
+        # here.  All values stay exact int32: box sums <= 255*side^2 <=
+        # 255*(2*rnd(7*s)+1)^2 (< 2^21 even at the s=6 bucket cap).
+        z = jnp.dot(win8, cc.astype(jnp.int8),
+                    preferred_element_type=jnp.int32)
+        area = (iy2 - iy1) * (ix2 - ix1)                # (1, nbits)
+        ssum = (rr.astype(jnp.int32) * z).sum(axis=0, keepdims=True) \
+            + 128 * area
+        return ssum, area                               # exact int32
+
+    s1i, a1i = box_sums(ty1, tx1)
+    s2i, a2i = box_sums(ty2, tx2)
+    side = (1 + 2 * tbr).astype(jnp.float32)
+    bit_fast = ((s1i - s2i).astype(jnp.float32)
+                <= thv * (side * side))
+    # division-free border compare in exact int32 (TPU f32 division is a
+    # reciprocal approximation; see cpu.descriptors.bad_descriptors)
+    lhs = (s1i * a2i - s2i * a1i).astype(jnp.float32)
+    bit_border = lhs <= thv * (a1i * a2i).astype(jnp.float32)
+    if wide_boxes:
+        # large-box buckets (s >~ 3.2): the int32 cross products can
+        # exceed 2^31; switch per-bit to 12-significant-bit truncated f32
+        # operands whose products are exact — same gate and formulation
+        # as ops.bad.bad_descriptors (bit-identical across paths)
+        a1f = a1i.astype(jnp.float32)
+        a2f = a2i.astype(jnp.float32)
+
+        def t12(v):
+            iv = pltpu.bitcast(v, jnp.int32)
+            return pltpu.bitcast(iv & jnp.int32(~0xFFF), jnp.float32)
+
+        s1t = t12(s1i.astype(jnp.float32))
+        s2t = t12(s2i.astype(jnp.float32))
+        a1t = t12(a1f)
+        a2t = t12(a2f)
+        bit_border_t = (s1t * a2t - s2t * a1t) <= thv * (a1t * a2t)
+        safe = a1f * a2f < np.float32(1 << 22)
+        # Mosaic cannot select between i1 vectors; select on f32
+        bit_border = jnp.where(safe, bit_border.astype(jnp.float32),
+                               bit_border_t.astype(jnp.float32))
+
+    # bw == 32 * (scale*ksize/64) * MARGIN bit-for-bit: s = fl(scale*ksize)
+    # / 32 exactly, 16*MARGIN = 28 exact, so both forms round 28*s once
+    bw = (np.float32(16.0) * MARGIN) * s
+    in_border = ((kx < bw) | (kx + bw >= np.float32(img_w)) |
+                 (ky < bw) | (ky + bw >= np.float32(img_h)))
+
+    # Mosaic cannot select between i1 vectors; select on f32
+    bits = jnp.where(in_border, bit_border.astype(jnp.float32),
+                     bit_fast.astype(jnp.float32))
+    return jnp.dot(bits, pack, preferred_element_type=jnp.float32)
+
+
+def _pack_mat(nbits):
+    """(nbits, nbits//8) MSB-first bit->byte packing matrix."""
+    pr = jax.lax.broadcasted_iota(jnp.int32, (nbits, nbits // 8), 0)
+    pc = jax.lax.broadcasted_iota(jnp.int32, (nbits, nbits // 8), 1)
+    return jnp.where(pr // 8 == pc,
+                     jnp.exp2((7 - pr % 8).astype(jnp.float32)), 0.0)
+
+
 def _bad_kernel(by_ref, bx_ref, meta_ref, nstart_ref,
                 kp_ref, par_ref, img_hbm, out_ref, win_ref, sem, *,
                 nbits, scale_factor, img_w, img_h,
@@ -243,10 +349,7 @@ def _bad_kernel(by_ref, bx_ref, meta_ref, nstart_ref,
                                           # within +-half (see bad_geom)
     rows_t = jax.lax.broadcasted_iota(jnp.int32, (ch, nbits), 0)
     cols_t = jax.lax.broadcasted_iota(jnp.int32, (cw, nbits), 0)
-    pr = jax.lax.broadcasted_iota(jnp.int32, (nbits, nbits // 8), 0)
-    pc = jax.lax.broadcasted_iota(jnp.int32, (nbits, nbits // 8), 1)
-    pack = jnp.where(pr // 8 == pc,
-                     jnp.exp2((7 - pr % 8).astype(jnp.float32)), 0.0)
+    pack = _pack_mat(nbits)
 
     def get_dma(slot, idx):
         return pltpu.make_async_copy(
@@ -284,9 +387,6 @@ def _bad_kernel(by_ref, bx_ref, meta_ref, nstart_ref,
         s, cost, sint, m02, m12 = _affine_scalars(kx, ky, ksize, kang,
                                                   scale_factor)
 
-        def rnd(v):
-            return jnp.trunc(v + np.float32(0.5)).astype(jnp.int32)
-
         oy = by_ref[idx]
         ox = bx_ref[idx]
         # window compaction (see _warp_kernel): rotate the keypoint to
@@ -296,93 +396,17 @@ def _bad_kernel(by_ref, bx_ref, meta_ref, nstart_ref,
         # build and the matmul contraction vs the round-1 full-width slab
         shift_x = jnp.floor(kx).astype(jnp.int32) - ox - half
         shift_y = jnp.floor(ky).astype(jnp.int32) - oy - half
-        oxc = ox + shift_x
-        oyc = oy + shift_y
-        # transformBoxPairParams (cuda_bad.cu:149-157), compacted local coords
-        tx1 = rnd(cost * bx1 - sint * by1 + m02) - oxc
-        ty1 = rnd(sint * bx1 + cost * by1 + m12) - oyc
-        tx2 = rnd(cost * bx2 - sint * by2 + m02) - oxc
-        ty2 = rnd(sint * bx2 + cost * by2 + m12) - oyc
-        tbr = rnd(s * br)
-
-        # clamped integral corners; for interior keypoints the clamps never
-        # bind (1.75 margin), so these sums serve both paths exactly
-        lo_y = -oyc
-        hi_y = jnp.int32(img_h) - oyc
-        lo_x = -oxc
-        hi_x = jnp.int32(img_w) - oxc
-
         win_rot = pltpu.roll(win_ref[slot].astype(jnp.int32),
                              (win_w - shift_x) % win_w, 1)
         win_rot = pltpu.roll(win_rot, (win_h - shift_y) % win_h, 0)
-        # int8 MXU path (2x the bf16 rate): pixels re-biased to [-128, 127];
-        # the -128 bias contributes exactly -128*area to each box sum (every
-        # selected cell is biased by -128 and valid box ranges stay inside
-        # the compacted sub-window), undone below.  All values stay exact
-        # int32: box sums <= 255*side^2 <= 255*(2*rnd(7*s)+1)^2 (< 2^21 even
-        # at the s=6 bucket cap).
         win8 = (jax.lax.slice(win_rot, (0, 0), (ch, cw))
                 - 128).astype(jnp.int8)
 
-        def box_sums(cy, cx):
-            iy1 = jnp.clip(cy - tbr, lo_y, hi_y - 1)
-            iy2 = jnp.clip(cy + tbr + 1, lo_y + 1, hi_y)
-            ix1 = jnp.clip(cx - tbr, lo_x, hi_x - 1)
-            ix2 = jnp.clip(cx + tbr + 1, lo_x + 1, hi_x)
-            # range indicator in ONE unsigned compare per (dim, bit) block
-            # instead of two compares + AND (the indicator builds are the
-            # kernel's VPU floor): t in [a, b) <=> u32(t - a) < u32(b - a)
-            cc = ((cols_t - ix1).astype(jnp.uint32)
-                  < (ix2 - ix1).astype(jnp.uint32))
-            rr = ((rows_t - iy1).astype(jnp.uint32)
-                  < (iy2 - iy1).astype(jnp.uint32))
-            z = jnp.dot(win8, cc.astype(jnp.int8),
-                        preferred_element_type=jnp.int32)
-            area = (iy2 - iy1) * (ix2 - ix1)                # (1, nbits)
-            ssum = (rr.astype(jnp.int32) * z).sum(axis=0, keepdims=True) \
-                + 128 * area
-            return ssum, area                               # exact int32
-
-        s1i, a1i = box_sums(ty1, tx1)
-        s2i, a2i = box_sums(ty2, tx2)
-        side = (1 + 2 * tbr).astype(jnp.float32)
-        bit_fast = ((s1i - s2i).astype(jnp.float32)
-                    <= thv * (side * side))
-        # division-free border compare in exact int32 (TPU f32 division is a
-        # reciprocal approximation; see cpu.descriptors.bad_descriptors)
-        lhs = (s1i * a2i - s2i * a1i).astype(jnp.float32)
-        bit_border = lhs <= thv * (a1i * a2i).astype(jnp.float32)
-        if wide_boxes:
-            # large-box buckets (s >~ 3.2): the int32 cross products can
-            # exceed 2^31; switch per-bit to 12-significant-bit truncated f32
-            # operands whose products are exact — same gate and formulation
-            # as ops.bad.bad_descriptors (bit-identical across paths)
-            a1f = a1i.astype(jnp.float32)
-            a2f = a2i.astype(jnp.float32)
-
-            def t12(v):
-                iv = pltpu.bitcast(v, jnp.int32)
-                return pltpu.bitcast(iv & jnp.int32(~0xFFF), jnp.float32)
-
-            s1t = t12(s1i.astype(jnp.float32))
-            s2t = t12(s2i.astype(jnp.float32))
-            a1t = t12(a1f)
-            a2t = t12(a2f)
-            bit_border_t = (s1t * a2t - s2t * a1t) <= thv * (a1t * a2t)
-            safe = a1f * a2f < np.float32(1 << 22)
-            # Mosaic cannot select between i1 vectors; select on f32
-            bit_border = jnp.where(safe, bit_border.astype(jnp.float32),
-                                   bit_border_t.astype(jnp.float32))
-
-        sb = np.float32(scale_factor) * ksize / np.float32(64.0)
-        bw = np.float32(32.0) * sb * MARGIN
-        in_border = ((kx < bw) | (kx + bw >= np.float32(img_w)) |
-                     (ky < bw) | (ky + bw >= np.float32(img_h)))
-
-        # Mosaic cannot select between i1 vectors; select on f32
-        bits = jnp.where(in_border, bit_border.astype(jnp.float32),
-                         bit_fast.astype(jnp.float32))
-        bytes_row = jnp.dot(bits, pack, preferred_element_type=jnp.float32)
+        bytes_row = _bad_bits_row(
+            win8, rows_t, cols_t, pack, (bx1, bx2, by1, by2, br, thv),
+            (kx, ky, s, cost, sint, m02, m12),
+            oy + shift_y, ox + shift_x,
+            wide_boxes=wide_boxes, img_w=img_w, img_h=img_h)
         out_ref[pl.ds(k, 1), :] = bytes_row
         return carry
 
@@ -425,10 +449,7 @@ def _bad_kernel_noroll(by_ref, bx_ref, meta_ref, nstart_ref,
     cw = 2 * half
     rows_t = jax.lax.broadcasted_iota(jnp.int32, (win_h, nbits), 0)
     cols_t = jax.lax.broadcasted_iota(jnp.int32, (cw, nbits), 0)
-    pr = jax.lax.broadcasted_iota(jnp.int32, (nbits, nbits // 8), 0)
-    pc = jax.lax.broadcasted_iota(jnp.int32, (nbits, nbits // 8), 1)
-    pack = jnp.where(pr // 8 == pc,
-                     jnp.exp2((7 - pr % 8).astype(jnp.float32)), 0.0)
+    pack = _pack_mat(nbits)
     csel = jax.lax.broadcasted_iota(jnp.int32, (win_w, cw), 0)
     jsel = jax.lax.broadcasted_iota(jnp.int32, (win_w, cw), 1)
 
@@ -462,14 +483,13 @@ def _bad_kernel_noroll(by_ref, bx_ref, meta_ref, nstart_ref,
 
         kx, ky, s, cost, sint, m02, m12 = _affine_from_block(kp_ref, k)
 
-        def rnd(v):
-            return jnp.trunc(v + np.float32(0.5)).astype(jnp.int32)
-
         oy = by_ref[idx]
         ox = bx_ref[idx]
         # one-hot column compaction around the keypoint (clamped at image
         # edges; box corners stay inside [off, off+cw) — clamps pull them
-        # toward the in-image keypoint, see the geometry notes in bad_geom)
+        # toward the in-image keypoint, see the geometry notes in bad_geom).
+        # Rows are NOT compacted: the row origin folds into the rr indicator
+        # bounds for free.
         xloc = jnp.floor(kx).astype(jnp.int32) - ox
         off = jnp.clip(xloc - half, 0, win_w - cw)
         Pm = (csel == jsel + off).astype(jnp.int8)
@@ -477,67 +497,10 @@ def _bad_kernel_noroll(by_ref, bx_ref, meta_ref, nstart_ref,
                         preferred_element_type=jnp.int32)
         win_c8 = win_c.astype(jnp.int8)               # biased pixels, exact
 
-        ox_l = ox + off
-        # transformBoxPairParams (cuda_bad.cu:149-157), window-local coords
-        # (rows are NOT compacted: the row origin folds into the rr bounds)
-        tx1 = rnd(cost * bx1 - sint * by1 + m02) - ox_l
-        ty1 = rnd(sint * bx1 + cost * by1 + m12) - oy
-        tx2 = rnd(cost * bx2 - sint * by2 + m02) - ox_l
-        ty2 = rnd(sint * bx2 + cost * by2 + m12) - oy
-        tbr = rnd(s * br)
-
-        lo_y = -oy
-        hi_y = jnp.int32(img_h) - oy
-        lo_x = -ox_l
-        hi_x = jnp.int32(img_w) - ox_l
-
-        def box_sums(cy, cx):
-            iy1 = jnp.clip(cy - tbr, lo_y, hi_y - 1)
-            iy2 = jnp.clip(cy + tbr + 1, lo_y + 1, hi_y)
-            ix1 = jnp.clip(cx - tbr, lo_x, hi_x - 1)
-            ix2 = jnp.clip(cx + tbr + 1, lo_x + 1, hi_x)
-            cc = ((cols_t - ix1).astype(jnp.uint32)
-                  < (ix2 - ix1).astype(jnp.uint32))
-            rr = ((rows_t - iy1).astype(jnp.uint32)
-                  < (iy2 - iy1).astype(jnp.uint32))
-            z = jnp.dot(win_c8, cc.astype(jnp.int8),
-                        preferred_element_type=jnp.int32)
-            area = (iy2 - iy1) * (ix2 - ix1)                # (1, nbits)
-            ssum = (rr.astype(jnp.int32) * z).sum(axis=0, keepdims=True) \
-                + 128 * area
-            return ssum, area                               # exact int32
-
-        s1i, a1i = box_sums(ty1, tx1)
-        s2i, a2i = box_sums(ty2, tx2)
-        side = (1 + 2 * tbr).astype(jnp.float32)
-        bit_fast = ((s1i - s2i).astype(jnp.float32)
-                    <= thv * (side * side))
-        lhs = (s1i * a2i - s2i * a1i).astype(jnp.float32)
-        bit_border = lhs <= thv * (a1i * a2i).astype(jnp.float32)
-        if wide_boxes:
-            a1f = a1i.astype(jnp.float32)
-            a2f = a2i.astype(jnp.float32)
-
-            def t12(v):
-                iv = pltpu.bitcast(v, jnp.int32)
-                return pltpu.bitcast(iv & jnp.int32(~0xFFF), jnp.float32)
-
-            s1t = t12(s1i.astype(jnp.float32))
-            s2t = t12(s2i.astype(jnp.float32))
-            a1t = t12(a1f)
-            a2t = t12(a2f)
-            bit_border_t = (s1t * a2t - s2t * a1t) <= thv * (a1t * a2t)
-            safe = a1f * a2f < np.float32(1 << 22)
-            bit_border = jnp.where(safe, bit_border.astype(jnp.float32),
-                                   bit_border_t.astype(jnp.float32))
-
-        bw = np.float32(16.0) * MARGIN * s          # 32 * (s/2) * MARGIN
-        in_border = ((kx < bw) | (kx + bw >= np.float32(img_w)) |
-                     (ky < bw) | (ky + bw >= np.float32(img_h)))
-
-        bits = jnp.where(in_border, bit_border.astype(jnp.float32),
-                         bit_fast.astype(jnp.float32))
-        bytes_row = jnp.dot(bits, pack, preferred_element_type=jnp.float32)
+        bytes_row = _bad_bits_row(
+            win_c8, rows_t, cols_t, pack, (bx1, bx2, by1, by2, br, thv),
+            (kx, ky, s, cost, sint, m02, m12), oy, ox + off,
+            wide_boxes=wide_boxes, img_w=img_w, img_h=img_h)
         out_ref[pl.ds(k, 1), :] = bytes_row
         return carry
 
@@ -624,6 +587,10 @@ def _bad_descriptors_windows_impl(image, x, y, size, angle, valid,
     window, one-hot column compaction, XLA-side affine scalars; see
     _bad_kernel_noroll) or "roll" (round-2/3 per-keypoint window rotation,
     kept for same-session A/B — see BENCH_DETAIL bad_formulation)."""
+    if formulation not in ("noroll", "roll"):
+        raise ValueError(f"unknown formulation: {formulation!r}")
+    if dma_mode not in ("group", "program"):
+        raise ValueError(f"unknown dma_mode: {dma_mode!r}")
     h, w = image.shape
     geom = bad_geom(s_max)
     base_y, base_x, pad_h, pad_w = plan_windows(x, y, h, w, geom)
@@ -1374,7 +1341,7 @@ def _hs_desc_windows_impl(image, x, y, size, angle, valid,
 # HashSIFT patch-warp kernel, large-keypoint buckets (single-keypoint mode)
 # ---------------------------------------------------------------------------
 
-_WARPB_KPB = 8  # (KPB, 4) kp block needs sublane divisible by 8
+_WARPB_KPB = 8  # (KPB, 8) kp block needs sublane divisible by 8
 
 
 def _warp_kernel_big(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref,

@@ -66,6 +66,26 @@ def main():
           f"(budget {budget})", file=sys.stderr)
     assert diff <= budget, (diff, budget)
 
+    # bucket-geometry compile + parity on chip (wide-box branch, s_max > 3.2;
+    # Mosaic shapes the interpret-mode CPU tests cannot validate)
+    nb = 2048
+    xb = jnp.asarray(rng.uniform(300, 3500, nb).astype(np.float32))
+    yb = jnp.asarray(rng.uniform(300, 1800, nb).astype(np.float32))
+    szb = jnp.asarray(rng.uniform(100.0, 150.0, nb).astype(np.float32))
+    anb = jnp.asarray(rng.uniform(-1, 360, nb).astype(np.float32))
+    vb = jnp.ones(nb, bool)
+    s_max = WK.bucket_scale(float(150.0 / 32.0))
+    wide = {}
+    for form in ("roll", "noroll"):
+        wide[form] = np.asarray(WK.bad_descriptors_windows(
+            img, xb, yb, szb, anb, vb, 256, 1.0, s_max, "group",
+            formulation=form))
+    diffw = int((wide["roll"] != wide["noroll"]).sum())
+    budgetw = int(2e-5 * wide["roll"].size) + 1
+    print(f"on-chip WIDE-bucket roll-vs-noroll differing bytes: {diffw} "
+          f"(budget {budgetw})", file=sys.stderr)
+    assert diffw <= budgetw, (diffw, budgetw)
+
     results = {k: [] for k in cases}
     for p in range(3):
         for k, fn in cases.items():
