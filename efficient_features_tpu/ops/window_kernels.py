@@ -926,21 +926,28 @@ def _warp_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref,
             [jnp.concatenate([blk0, z64], axis=1),
              jnp.concatenate([z64, blk1], axis=1)], axis=0)   # (128, 128)
 
-        # the MXU does only EXACT one-hot gathers: Xl selects the left
-        # bilinear pixel column (c == floor(u)), Xr the right — {0,1}
-        # factors x exact <=255 pixels, one nonzero per column, so z_l/z_r
-        # are exact pixel integers.  ALL bilinear weighting then happens on
-        # the VPU in full f32, matching the reference's float lerp (no bf16
-        # weight quantization anywhere).
+        # the MXU does only EXACT one-hot gathers: X packs the left bilinear
+        # pixel selector (c == floor(u), weight 1) and the right selector
+        # (c == floor(u)+1, weight 4096) into ONE factor — {0, 1, 4096} are
+        # bf16-exact, a column can't select both, pixels are <= 255 exact
+        # integers, so z = z_l + 4096*z_r accumulates exactly (< 2^24) in
+        # f32 and the fields unpack exactly with a power-of-two divide.
+        # This halves the kernel's dominant (128,128)@(128,1024) MXU work
+        # vs separate z_l/z_r matmuls.  ALL bilinear weighting then happens
+        # on the VPU in full f32, matching the reference's float lerp (no
+        # bf16 weight quantization anywhere).
         ksel = jax.lax.broadcasted_iota(jnp.int32, (2 * _WARP_CW, npx), 0)
         hi = (ksel >= _WARP_CW)
         cc = jnp.where(hi, ksel - _WARP_CW, ksel).astype(jnp.float32)
         uu = jnp.where(hi, u1, u0)
         ufl = jnp.floor(uu)
-        Xl = (cc == ufl).astype(jnp.bfloat16)                 # (128, npx)
-        Xr = (cc == ufl + np.float32(1.0)).astype(jnp.bfloat16)
-        z_l = jnp.dot(lhs, Xl, preferred_element_type=jnp.float32)
-        z_r = jnp.dot(lhs, Xr, preferred_element_type=jnp.float32)
+        X2 = (jnp.where(cc == ufl, np.float32(1.0), np.float32(0.0))
+              + jnp.where(cc == ufl + np.float32(1.0),
+                          np.float32(4096.0), np.float32(0.0)))
+        z2 = jnp.dot(lhs, X2.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)      # (128, npx)
+        z_r = jnp.floor(z2 * np.float32(1.0 / 4096.0))
+        z_l = z2 - np.float32(4096.0) * z_r
 
         # horizontal lerp on the VPU: du broadcast over rows (row blocks
         # [0:64) / [64:128) belong to kp0 / kp1); all weights full f32
@@ -1174,10 +1181,15 @@ def _hs_fused_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref, wsp_ref,
         cc = jnp.where(hi, ksel - _WARP_CW, ksel).astype(jnp.float32)
         uu = jnp.where(hi, u1, u0)
         ufl = jnp.floor(uu)
-        Xl = (cc == ufl).astype(jnp.bfloat16)                 # (128, npx)
-        Xr = (cc == ufl + np.float32(1.0)).astype(jnp.bfloat16)
-        z_l = jnp.dot(lhs, Xl, preferred_element_type=jnp.float32)
-        z_r = jnp.dot(lhs, Xr, preferred_element_type=jnp.float32)
+        # packed left/right one-hot gather: ONE matmul, exact fields
+        # (see _warp_kernel)
+        X2 = (jnp.where(cc == ufl, np.float32(1.0), np.float32(0.0))
+              + jnp.where(cc == ufl + np.float32(1.0),
+                          np.float32(4096.0), np.float32(0.0)))
+        z2 = jnp.dot(lhs, X2.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+        z_r = jnp.floor(z2 * np.float32(1.0 / 4096.0))
+        z_l = z2 - np.float32(4096.0) * z_r
         rsel = jax.lax.broadcasted_iota(jnp.int32, (128, w2), 0)
         rhi = (rsel >= 64)
         du = jnp.where(rhi, u1 - jnp.floor(u1), u0 - jnp.floor(u0))
@@ -1420,10 +1432,15 @@ def _warp_kernel_big(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref,
         ksel = jax.lax.broadcasted_iota(jnp.int32, (cwp, npx), 0)
         ccf = ksel.astype(jnp.float32)
         ufl = jnp.floor(u_loc)
-        Xl = (ccf == ufl).astype(jnp.bfloat16)               # (cwp, npx)
-        Xr = (ccf == ufl + np.float32(1.0)).astype(jnp.bfloat16)
-        z_l = jnp.dot(win_c, Xl, preferred_element_type=jnp.float32)
-        z_r = jnp.dot(win_c, Xr, preferred_element_type=jnp.float32)
+        # packed left/right one-hot gather: ONE matmul, exact fields
+        # (see _warp_kernel)
+        X2 = (jnp.where(ccf == ufl, np.float32(1.0), np.float32(0.0))
+              + jnp.where(ccf == ufl + np.float32(1.0),
+                          np.float32(4096.0), np.float32(0.0)))
+        z2 = jnp.dot(win_c, X2.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)     # (slice_h, npx)
+        z_r = jnp.floor(z2 * np.float32(1.0 / 4096.0))
+        z_l = z2 - np.float32(4096.0) * z_r
 
         du = u_loc - ufl
         sres = (np.float32(1.0) - du) * z_l + du * z_r       # (slice_h, npx)
