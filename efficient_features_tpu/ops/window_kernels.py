@@ -1265,7 +1265,11 @@ def _hs_fused_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref, wsp_ref,
     H = jnp.dot(V, wsp_ref[...], preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)          # (64, 128)
 
-    # ---- phase 4: per-keypoint normalize / quantize / flatten / store ----
+    # ---- phase 4: per-keypoint normalize / quantize, then ONE block
+    # flatten matmul.  The flatten's one-hot A is a constant: per-keypoint
+    # M=8 calls re-stream it 8x (the round-3 weight-stream finding), so the
+    # 8 quantized (8, 128) cores are stacked into one (64, 128) operand.
+    qs4 = []
     for k in range(_WARP_KPB):
         hb = jax.lax.slice(H, (8 * k, 0), (8 * k + 8, 128))   # (8, 128)
         nrm = jnp.maximum(jnp.sqrt((hb * hb).sum()), _EPS32)
@@ -1273,22 +1277,26 @@ def _hs_fused_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref, wsp_ref,
         d = jnp.minimum(d, np.float32(0.2))
         nrm2 = jnp.maximum(jnp.sqrt((d * d).sum()), _EPS32)
         d = d * _recip(nrm2)
-        q = jnp.clip(jnp.trunc(np.float32(512.0) * d + np.float32(0.5)),
-                     0.0, 255.0)
-        # orientation-major flatten (8, 16) -> (1, 128): e[o*16+rc] =
-        # q[o, rc].  Mosaic cannot concat/reshape sublanes into lanes;
-        # instead one exact one-hot matmul replicates each 16-lane core
-        # across the row (qA[o, l] = q[o, l%16] — values are small exact
-        # ints, bf16-safe) and a masked sublane sum picks row l//16.
-        # The XLA projection uses hs_fused_projection's permuted columns.
-        csel2 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-        lsel2 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-        A = (csel2 == lsel2 % 16).astype(jnp.bfloat16)
-        qa = jnp.dot(q.astype(jnp.bfloat16), A,
-                     preferred_element_type=jnp.float32)      # (8, 128)
-        osel = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-        osel_l = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) // 16
-        row = jnp.where(osel == osel_l, qa, np.float32(0.0)).sum(
+        qs4.append(jnp.clip(
+            jnp.trunc(np.float32(512.0) * d + np.float32(0.5)), 0.0, 255.0))
+    Q = jnp.concatenate(qs4, axis=0)                          # (64, 128)
+    # orientation-major flatten (8, 16) -> (1, 128): e[o*16+rc] = q[o, rc].
+    # Mosaic cannot concat/reshape sublanes into lanes; instead one exact
+    # one-hot matmul replicates each 16-lane core across the row
+    # (QA[r, l] = Q[r, l%16] — values are small exact ints, bf16-safe) and
+    # a masked sublane sum picks row l//16 within each keypoint's 8 rows.
+    # The XLA projection uses hs_fused_projection's permuted columns.
+    csel2 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    lsel2 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    A = (csel2 == lsel2 % 16).astype(jnp.bfloat16)
+    QA = jnp.dot(Q.astype(jnp.bfloat16), A,
+                 preferred_element_type=jnp.float32)          # (64, 128)
+    osel = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    osel_l = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) // 16
+    pick = (osel == osel_l)
+    for k in range(_WARP_KPB):
+        qa = jax.lax.slice(QA, (8 * k, 0), (8 * k + 8, 128))  # (8, 128)
+        row = jnp.where(pick, qa, np.float32(0.0)).sum(
             axis=0, keepdims=True)                            # (1, 128)
         out_ref[k:k + 1, :] = row.astype(jnp.int32).astype(jnp.uint8)
 
