@@ -220,6 +220,12 @@ def _affine_from_block(kp_ref, k):
 
 _BAD_KPB = 32
 
+# Default BAD kernel formulation: "roll" (round-2/3, per-keypoint window
+# rotation, Mosaic-proven on chip) until the round-4 on-chip A/B
+# (tools/ab_bad_formulation.py, BENCH_DETAIL bad_formulation) validates
+# "noroll" compiled; flip here when the A/B decides.
+_BAD_FORMULATION = "roll"
+
 
 def _bad_bits_row(win8, rows_t, cols_t, pack, par6, scal, oy_l, ox_l, *,
                   wide_boxes, img_w, img_h):
@@ -574,7 +580,7 @@ def _bad_descriptors_windows_impl(image, x, y, size, angle, valid,
                                   nbits: int, scale_factor: float,
                                   s_max: float = _S_BASE,
                                   dma_mode: str = "group",
-                                  formulation: str = "noroll"):
+                                  formulation: str = _BAD_FORMULATION):
     """(N, nbits//8) uint8 BAD descriptors via the window kernel; exact.
 
     `s_max` (static): upper bound on the affine scale scale_factor*size/32 of
@@ -583,10 +589,11 @@ def _bad_descriptors_windows_impl(image, x, y, size, angle, valid,
     across programs (round-2 default); "program" additionally re-DMAs at
     every program start (the round-1 behavior, kept for same-session A/B —
     see BENCH_DETAIL dma_ab).
-    `formulation` (static): "noroll" (round-4 default — per-DMA cached int8
-    window, one-hot column compaction, XLA-side affine scalars; see
-    _bad_kernel_noroll) or "roll" (round-2/3 per-keypoint window rotation,
-    kept for same-session A/B — see BENCH_DETAIL bad_formulation)."""
+    `formulation` (static): "noroll" (round-4 — per-DMA cached int8 window,
+    one-hot column compaction, XLA-side affine scalars; see
+    _bad_kernel_noroll) or "roll" (round-2/3 per-keypoint window rotation).
+    Default is _BAD_FORMULATION; the on-chip A/B decides it (see BENCH_DETAIL
+    bad_formulation)."""
     if formulation not in ("noroll", "roll"):
         raise ValueError(f"unknown formulation: {formulation!r}")
     if dma_mode not in ("group", "program"):

@@ -49,6 +49,16 @@ def main():
     valid = np.ones(n, bool)
     args = [jnp.asarray(a) for a in (x, y, size, angle, valid)]
 
+    # Mosaic smoke test first: compile the noroll kernel at a tiny grid
+    # before committing to the 40k compiles (a pathological compile should
+    # surface here, cheaply)
+    t0 = time.perf_counter()
+    tiny = np.asarray(WK.bad_descriptors_windows(
+        img, *(a[:256] for a in args[:4]), args[4][:256], 256, 1.0,
+        formulation="noroll"))
+    print(f"noroll tiny-compile ok in {time.perf_counter()-t0:.1f}s, "
+          f"sum={int(tiny.sum())}", file=sys.stderr)
+
     cases = {}
     for nbits in (256, 512):
         for form in ("roll", "noroll"):
