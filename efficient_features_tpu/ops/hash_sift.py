@@ -91,26 +91,30 @@ def _spatial_weight_core():
 
 @functools.lru_cache(maxsize=None)
 def _grad_shift_mat():
-    """(1024, 2048) f32 constant for the fused kernel's quantized-patch
+    """(1024, 1024) f32 constant for the fused kernel's quantized-patch
     gradients: one MXU matmul q(.,1024) @ G replaces the in-kernel lane
     shifts (slow on TPU) and the recomputed neighbor sample grids (3.5x the
     bilinear work — the round-3 fused kernel's losing trade).
 
-    Rows = full 32x32 row-major patch lane p = yy*32 + xx; output lanes
-    l < 1024 carry dx[l] and lanes 1024+l carry dy[l] for padded interior
-    lane l (l < 900: yy = l//30 + 1, xx = l%30 + 1; dead lanes zero), with
+    Rows = full 32x32 row-major patch lane p = yy*32 + xx; output lane
+    l < 900 carries BOTH gradients packed as z = dx + 4096*dy (yy = l//30+1,
+    xx = l%30+1; dead lanes zero), with
       dx = p[yy, xx+1] - p[yy, xx-1]   (patch_sift_responses:158)
       dy = p[yy-1, xx] - p[yy+1, xx]   (patch_sift_responses:159)
-    Entries are {-1, 0, +1} and q is an exact <=255 integer, both exact in
-    bf16, and each output is a two-term f32 accumulation — so the matmul
-    reproduces the integer subtraction bit-for-bit."""
-    G = np.zeros((1024, 2048), np.float32)
+    Entries are {-1, 0, +1, -4096, +4096} and q holds exact <=255 integers,
+    all exact in bf16; every product and 4-term partial sum is an exact
+    integer < 2^24 in the f32 accumulator, so z is exact and unpacks
+    exactly: |dx| <= 255 < 2048 means dy = floor(z/4096 + 0.5) and
+    dx = z - 4096*dy recover the integer subtractions bit-for-bit.  The
+    packing halves the fused kernel's biggest streamed constant (4 -> 2 MB)
+    and its matmul MACs."""
+    G = np.zeros((1024, 1024), np.float32)
     for l in range(900):
         yy, xx = l // 30 + 1, l % 30 + 1
         G[yy * 32 + xx + 1, l] += 1.0
         G[yy * 32 + xx - 1, l] -= 1.0
-        G[(yy - 1) * 32 + xx, 1024 + l] += 1.0
-        G[(yy + 1) * 32 + xx, 1024 + l] -= 1.0
+        G[(yy - 1) * 32 + xx, l] += 4096.0
+        G[(yy + 1) * 32 + xx, l] -= 4096.0
     return G
 
 

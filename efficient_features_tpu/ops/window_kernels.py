@@ -1240,14 +1240,15 @@ def _hs_fused_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref, wsp_ref,
         qs.extend((q0, q1))
 
     # ---- phase 2: both quantized-patch gradients for the whole block from
-    # ONE exact constant matmul (see module comment; dg lanes [0:1024) = dx,
-    # [1024:2048) = dy on the padded interior layout — dead lanes have
-    # all-zero columns).  Block-batched on purpose: these matmuls are VMEM
-    # weight-stream-bound (the MXU re-reads the whole constant per call —
-    # 4 MB here, 0.5 MB for wsp), so per-pair calls cost ~4x per keypoint.
+    # ONE exact constant matmul (see module comment; dg lane l packs
+    # z = dx + 4096*dy on the padded interior layout — exact integer fields
+    # < 2^24, see hash_sift._grad_shift_mat).  Block-batched on purpose:
+    # these matmuls are VMEM weight-stream-bound (the MXU re-reads the whole
+    # constant per call — 2 MB here, 0.5 MB for wsp), so per-pair calls
+    # cost ~4x per keypoint.
     qq = jnp.concatenate(qs, axis=0).astype(jnp.bfloat16)     # (8, 1024)
     g2 = jnp.dot(qq, dg_ref[...],
-                 preferred_element_type=jnp.float32)          # (8, 2048)
+                 preferred_element_type=jnp.float32)          # (8, 1024)
 
     # ---- phase 3: orientation votes -> one (64, 1024) vote matrix (rows =
     # (kp, orientation bin), circular bin 8 folded into 0 at vote time ==
@@ -1255,8 +1256,10 @@ def _hs_fused_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref, wsp_ref,
     # spatial-core histogram matmul for the block.
     Vs = []
     for k in range(_WARP_KPB):
-        dxv = jax.lax.slice(g2, (k, 0), (k + 1, npx))
-        dyv = jax.lax.slice(g2, (k, npx), (k + 1, 2 * npx))
+        zg = jax.lax.slice(g2, (k, 0), (k + 1, npx))
+        # exact unpack: |dx| <= 255 < 2048 -> nearest-int recovers dy
+        dyv = jnp.floor(zg * np.float32(1.0 / 4096.0) + np.float32(0.5))
+        dxv = zg - np.float32(4096.0) * dyv
         oi, vlo, vhi = sift_votes(dxv, dyv)                   # (1, npx)
         o_row = jax.lax.broadcasted_iota(jnp.int32, (8, npx), 0)
         oip1 = oi + 1
@@ -1342,7 +1345,7 @@ def _hs_desc_windows_impl(image, x, y, size, angle, valid,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1024, 128), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1024, 2048), lambda i, *_: (0, 0),
+                pl.BlockSpec((1024, 1024), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
