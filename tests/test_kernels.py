@@ -98,6 +98,39 @@ def test_warp_window_kernel_exact(img):
     assert (a != b).mean() < 1e-3
 
 
+def test_warp_window_kernel_saturated_edges():
+    """Packed one-hot gather extremes: hard 0/255 edges drive the packed
+    field z = z_l + 4096*z_r to its corners (0, 255, 4096*255, 255+4096*255);
+    angle=-1 (no trig ULPs) must reproduce the oracle EXACTLY."""
+    img = np.zeros((160, 256), np.uint8)
+    img[:, 128:] = 255
+    img[40:80, 40:80] = 255
+    img[100:140, 160:200] = 0
+    n = 24
+    rng = np.random.default_rng(11)
+    # non-integer positions: bilinear lerp straddles the 0/255 edges
+    x = (rng.uniform(34, 222, n) + 0.31).astype(np.float32)
+    y = (rng.uniform(34, 126, n) + 0.47).astype(np.float32)
+    size = np.full(n, 31.0, np.float32)
+    angle = np.full(n, -1.0, np.float32)
+    valid = np.ones(n, bool)
+    a = DC.warp_patches(img, x, y, size, angle, 1.0).reshape(n, -1)
+    b = np.asarray(WK.warp_patches_windows(
+        jnp.asarray(img), jnp.asarray(x), jnp.asarray(y), jnp.asarray(size),
+        jnp.asarray(angle), jnp.asarray(valid), 1.0))
+    np.testing.assert_array_equal(a, b)
+    # fused kernel on the same extremes: packed gradients hit |dx|=|dy|=255;
+    # angle=-1 still exercises the atan polynomial inside SIFT, so compare
+    # at the quantized-descriptor budget
+    want_d = DC.patch_sift_responses(a.reshape(n, 32, 32))[:, 1:]
+    perm = np.array([(l % 16) * 8 + l // 16 for l in range(128)])
+    got = np.asarray(WK.hs_desc_windows(
+        jnp.asarray(img), jnp.asarray(x), jnp.asarray(y), jnp.asarray(size),
+        jnp.asarray(angle), jnp.asarray(valid), 1.0)).astype(np.float32)
+    assert np.abs(got - want_d[:, perm]).max() <= 1.0
+    assert (got != want_d[:, perm]).mean() < 2e-3
+
+
 def test_hs_fused_kernel_desc_parity(img):
     """Fused HashSIFT kernel (warp+grad+hist+normalize in one pass) vs the
     oracle's quantized 128-d SIFT descriptor.  The kernel emits the
