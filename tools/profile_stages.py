@@ -152,6 +152,15 @@ def main():
                         WK.bad_descriptors_windows(img, kx, ky, sz, ang,
                                                    ok, nb, 1.0),
                     iters=6)
+            # roll-free formulation A/B rows (round 4): same keypoints, the
+            # noroll kernel (per-DMA int8 cache, one-hot column compaction,
+            # XLA-side trig) vs the default above
+            reg(f"bad256_{tag}_{n // 1024}k_noroll_ms",
+                lambda kx=kx, ky=ky, sz=sz, ang=ang, ok=ok:
+                    WK.bad_descriptors_windows(img, kx, ky, sz, ang, ok,
+                                               256, 1.0,
+                                               formulation="noroll"),
+                iters=6)
 
     # --- HashSIFT two-stage split -----------------------------------------
     n = 40960
