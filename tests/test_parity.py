@@ -160,6 +160,37 @@ def test_detect_pipeline_keypoints_identical(img):
     assert np.minimum(d, 360 - d).max() < 1e-3
 
 
+@pytest.mark.parametrize("cfgkw", [
+    # off-default configs: small radius takes the non-fused NMS path
+    # (radius < 10), single level skips the pyramid, coarse pyramid changes
+    # quota math, low threshold floods candidates past the quota
+    dict(nfeatures=700, nonmax_radius=5),
+    dict(nfeatures=900, nlevels=1),
+    dict(nfeatures=1200, scale_factor=1.5, nlevels=4),
+    dict(nfeatures=400, fast_threshold=9, nonmax_radius=21),
+    dict(nfeatures=2500, fast_threshold=35, nlevels=3, nonmax_radius=10),
+])
+def test_detect_pipeline_config_fuzz(img, cfgkw):
+    """Bit-exact selection parity holds at EVERY config corner, not just the
+    reference defaults (the reference has no detector unit tests at all —
+    SURVEY.md section 4)."""
+    cfg = P.FeatureConfig(**cfgkw)
+    slots = {k: np.asarray(v)
+             for k, v in P.detect_jit(jnp.asarray(img), cfg).items()}
+    oracle = R.detect(img, nfeatures=cfg.nfeatures,
+                      scale_factor=cfg.scale_factor, nlevels=cfg.nlevels,
+                      fast_threshold=cfg.fast_threshold,
+                      nonmax_radius=cfg.nonmax_radius)
+    m = slots["valid"]
+    assert int(slots["count"]) == oracle.count
+    np.testing.assert_array_equal(slots["x"][m], oracle.x)
+    np.testing.assert_array_equal(slots["y"][m], oracle.y)
+    np.testing.assert_array_equal(slots["octave"][m], oracle.octave)
+    np.testing.assert_allclose(slots["response"][m], oracle.response, rtol=0)
+    d = np.abs(slots["angle"][m] - oracle.angle)
+    assert np.minimum(d, 360 - d).max() < 1e-3
+
+
 @pytest.mark.parametrize("nbits", [256, 512])
 def test_bad_parity_budget(img, nbits):
     x, y, size, angle = make_keypoints(*img.shape, 400, seed=5)
