@@ -355,10 +355,11 @@ class EfficientFeatures:
         img = _as_u8_image(image)
         ranges = P.level_slot_ranges(self._cfg, *img.shape)
         if mesh is not None:
-            if mask is not None:
-                raise ValueError("mask with mesh= is not supported yet")
             from .parallel import sharding as SH
-            slots = SH.detect_pyramid_rows_sharded(img, self._cfg, mesh)
+            if mask is not None:
+                mask = self._as_mask(mask, img.shape)
+            slots = SH.detect_pyramid_rows_sharded(img, self._cfg, mesh,
+                                                   mask=mask)
             return KeyPoints(slots, max_size=self._max_kp_size(),
                              level_ranges=ranges)
         if mask is not None:
@@ -389,11 +390,11 @@ class EfficientFeatures:
     def detect_and_compute_async(self, image, mask=None, mesh=None):
         img = _as_u8_image(image)
         if mesh is not None:
-            if mask is not None:
-                raise ValueError("mask with mesh= is not supported yet")
             from .parallel import sharding as SH
+            if mask is not None:
+                mask = self._as_mask(mask, img.shape)
             slots, descs = SH.detect_pyramid_rows_sharded(
-                img, self._cfg, mesh, with_descriptors=True)
+                img, self._cfg, mesh, with_descriptors=True, mask=mask)
             return KeyPoints(slots, max_size=self._max_kp_size(),
                              level_ranges=P.level_slot_ranges(
                                  self._cfg, *img.shape)), descs

@@ -231,7 +231,8 @@ def shard_batch(images: np.ndarray, mesh: Mesh) -> jax.Array:
 
 
 def detect_pyramid_rows_sharded(image: jax.Array, cfg: P.FeatureConfig,
-                                mesh: Mesh, with_descriptors: bool = False):
+                                mesh: Mesh, with_descriptors: bool = False,
+                                mask: jax.Array | None = None):
     """Full-pyramid detect over a row-sharded image (detect_jit-compatible
     slot dict; descriptors optional).  Requires every level height >= 2x the
     mesh size.
@@ -241,16 +242,25 @@ def detect_pyramid_rows_sharded(image: jax.Array, cfg: P.FeatureConfig,
     merged keypoints that fall in its band (band-local integrals/patches with
     global border semantics via the ops' origin/frame parameters), and a psum
     combines the disjoint rows — bit-compatible with detect_and_compute_jit.
+
+    With a user ROI mask: the (h, w) mask is replicated (masks are u8-cheap
+    next to the image pipeline) and each band gathers its level-s mask rows
+    through the same trace-time nearest-neighbour tables the single-chip
+    mask pyramid uses — applied to the corner mask BEFORE the NMS, so
+    masked-out corners cannot suppress neighbours (pipeline semantics).
     """
     h, w = image.shape
-    fn, pad_h = _pyramid_sharded_jit(h, w, cfg, mesh, with_descriptors)
+    fn, pad_h = _pyramid_sharded_jit(h, w, cfg, mesh, with_descriptors,
+                                     mask is not None)
     padded = jnp.pad(image, ((0, pad_h), (0, 0)))
+    if mask is not None:
+        return fn(padded, jnp.asarray(mask) != 0)
     return fn(padded)
 
 
 @functools.lru_cache(maxsize=None)
 def _pyramid_sharded_jit(h: int, w: int, cfg: P.FeatureConfig, mesh: Mesh,
-                         with_descriptors: bool):
+                         with_descriptors: bool, with_mask: bool = False):
     """Cached jitted executable per (shape, cfg, mesh) — see _batch_jit: the
     shard_map closure (and its trace-time resize tables) must be built once
     so repeated mesh= API calls reuse the trace/compile."""
@@ -292,6 +302,16 @@ def _pyramid_sharded_jit(h: int, w: int, cfg: P.FeatureConfig, mesh: Mesh,
     one = np.int32(1 << S.RESIZE_BITS)
     rnd = np.int32(1 << (2 * S.RESIZE_BITS - 1))
 
+    # trace-time nearest-neighbour mask-pyramid index tables (exactly
+    # pipeline._mask_pyramid / cpu.reference.mask_pyramid)
+    if with_mask:
+        mask_tabs = [None]
+        for (hs, ws) in shapes[1:]:
+            yy = np.clip((np.arange(hs) * 2 + 1) * h // (2 * hs), 0, h - 1)
+            xx = np.clip((np.arange(ws) * 2 + 1) * w // (2 * ws), 0, w - 1)
+            mask_tabs.append((jnp.asarray(yy.astype(np.int32)),
+                              jnp.asarray(xx.astype(np.int32))))
+
     def halo_exchange(band, H, i):
         top = jax.lax.ppermute(band[-H:], axis,
                                [(j, (j + 1) % n) for j in range(n)])
@@ -301,7 +321,8 @@ def _pyramid_sharded_jit(h: int, w: int, cfg: P.FeatureConfig, mesh: Mesh,
         bot = jnp.where(i == n - 1, jnp.zeros_like(bot), bot)
         return jnp.concatenate([top, band, bot], axis=0)
 
-    def band_fn(band0):
+    def band_fn(band0, *maybe_mask):
+        mask0 = maybe_mask[0] if with_mask else None
         i = jax.lax.axis_index(axis)
         per_level = []
         cur = band0
@@ -332,6 +353,17 @@ def _pyramid_sharded_jit(h: int, w: int, cfg: P.FeatureConfig, mesh: Mesh,
             col_ok = jnp.zeros((ws,), bool).at[
                 S.HALF_PATCH_SIZE:ws - S.HALF_PATCH_SIZE].set(True)
             corner = corner & gborder[:, None] & col_ok[None, :]
+            if with_mask:
+                # level-s mask rows for this band's extended window, gathered
+                # straight from the replicated level-0 mask (rows outside
+                # [0, hs) are already dead via gborder)
+                rid = jnp.clip(row_ids, 0, hs - 1)
+                if s == 0:
+                    m_ext = mask0[rid]
+                else:
+                    yy_t, xx_t = mask_tabs[s]
+                    m_ext = mask0[yy_t[rid]][:, xx_t]
+                corner = corner & m_ext
             resp = OD.harris_response(ext)
             surv = OD.radius_nms(resp, corner, cfg.nonmax_radius)
             owned = (jnp.arange(ext.shape[0]) >= halo) & \
@@ -429,6 +461,8 @@ def _pyramid_sharded_jit(h: int, w: int, cfg: P.FeatureConfig, mesh: Mesh,
             return slots, jnp.concatenate(descs, axis=0)
         return slots
 
-    sharded = jax.shard_map(band_fn, mesh=mesh, in_specs=(P_(axis, None),),
+    in_specs = (P_(axis, None), P_(None, None)) if with_mask \
+        else (P_(axis, None),)
+    sharded = jax.shard_map(band_fn, mesh=mesh, in_specs=in_specs,
                             out_specs=P_(), check_vma=False)
     return jax.jit(sharded), n * bh[0] - h

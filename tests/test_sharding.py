@@ -187,6 +187,38 @@ def test_api_mesh_detect_matches_single_chip():
     assert (got_d != want_d).sum() <= int(1e-4 * want_d.size) + 1
 
 
+def test_api_mesh_masked_detect_matches_single_chip():
+    """detect(image, mask=..., mesh=...) — the sharded ROI-mask path —
+    matches the single-chip masked pipeline byte-for-byte (round 4; was a
+    ValueError before)."""
+    from efficient_features_tpu import EfficientFeatures
+
+    assert len(jax.devices()) >= 8
+    mesh = SH.make_mesh(8)
+    img = make_test_image(512, 256, seed=141)
+    mask = np.zeros(img.shape, np.uint8)
+    mask[64:400, 32:200] = 1
+    mask[128:160, :] = 0                      # a hole crossing band borders
+    feat = EfficientFeatures(nfeatures=600, nlevels=4,
+                             descriptor_type="bad_256")
+    kps = feat.detect(img, mask=mask, mesh=mesh)
+    ref = {k: np.asarray(v) for k, v in P.detect_masked_jit(
+        jnp.asarray(img), jnp.asarray(mask), feat._cfg).items()}
+    got = kps._slots
+    assert int(got["count"]) == int(ref["count"]) > 0
+    for k in ("x", "y", "response", "octave", "valid"):
+        np.testing.assert_array_equal(np.asarray(got[k]), ref[k])
+
+    kps2, desc2 = feat.detect_and_compute(img, mask=mask, mesh=mesh)
+    s1, d1 = P.detect_and_compute_masked_jit(jnp.asarray(img),
+                                             jnp.asarray(mask), feat._cfg)
+    np.testing.assert_array_equal(np.asarray(kps2._slots["x"]),
+                                  np.asarray(s1["x"]))
+    valid = np.asarray(s1["valid"])
+    # the sync API compacts descriptor rows to valid keypoints
+    np.testing.assert_array_equal(np.asarray(desc2), np.asarray(d1)[valid])
+
+
 def test_compute_sharded_keypoint_axis():
     """Descriptor-only compute with keypoints sharded over the mesh equals
     the single-chip gather path, rows in caller order."""
