@@ -430,8 +430,14 @@ class EfficientFeatures:
         if images.ndim != 3 or images.dtype != np.uint8:
             raise ValueError("images must be (B, H, W) uint8")
         mesh = mesh or SH.make_mesh()
-        slots, desc = SH.detect_and_compute_batch(
-            SH.shard_batch(images, mesh), self._cfg, mesh)
+        if len(mesh.axis_names) == 2:
+            # dp x sp: batch over dp, each image's pyramid row-sharded
+            # over sp (see sharding.detect_and_compute_batch_2d)
+            slots, desc = SH.detect_and_compute_batch_2d(
+                jnp.asarray(images), self._cfg, mesh)
+        else:
+            slots, desc = SH.detect_and_compute_batch(
+                SH.shard_batch(images, mesh), self._cfg, mesh)
         if not as_host:
             return slots, desc
         ranges = P.level_slot_ranges(self._cfg, *images.shape[1:])

@@ -264,12 +264,26 @@ def _pyramid_sharded_jit(h: int, w: int, cfg: P.FeatureConfig, mesh: Mesh,
     """Cached jitted executable per (shape, cfg, mesh) — see _batch_jit: the
     shard_map closure (and its trace-time resize tables) must be built once
     so repeated mesh= API calls reuse the trace/compile."""
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    band_fn, pad_h = _pyramid_band_builder(h, w, cfg, axis, n,
+                                           with_descriptors, with_mask)
+    in_specs = (P_(axis, None), P_(None, None)) if with_mask \
+        else (P_(axis, None),)
+    sharded = jax.shard_map(band_fn, mesh=mesh, in_specs=in_specs,
+                            out_specs=P_(), check_vma=False)
+    return jax.jit(sharded), pad_h
+
+
+def _pyramid_band_builder(h: int, w: int, cfg: P.FeatureConfig, axis: str,
+                          n: int, with_descriptors: bool, with_mask: bool):
+    """Per-band pyramid detect(+describe) body over mesh axis `axis` with
+    `n` bands; returns (band_fn, pad_h).  band_fn is shard_map-able directly
+    (1D sp mesh) or under vmap (dp x sp 2D mesh — every collective names
+    `axis`, so a leading batch dim rides for free)."""
     from ..ops import image as OI
     from ..ops import bad as OB
     from ..ops import hash_sift as OHS
-
-    axis = mesh.axis_names[0]
-    n = mesh.devices.size
     shapes = S.pyramid_shapes(h, w, cfg.scale_factor, cfg.nlevels)
     scales = S.pyramid_scales(cfg.scale_factor, cfg.nlevels)
     quotas = S.features_per_level(cfg.nfeatures, cfg.scale_factor,
@@ -461,8 +475,45 @@ def _pyramid_sharded_jit(h: int, w: int, cfg: P.FeatureConfig, mesh: Mesh,
             return slots, jnp.concatenate(descs, axis=0)
         return slots
 
-    in_specs = (P_(axis, None), P_(None, None)) if with_mask \
-        else (P_(axis, None),)
-    sharded = jax.shard_map(band_fn, mesh=mesh, in_specs=in_specs,
-                            out_specs=P_(), check_vma=False)
-    return jax.jit(sharded), n * bh[0] - h
+    return band_fn, n * bh[0] - h
+
+
+def make_mesh_2d(dp: int, sp: int) -> Mesh:
+    """(dp, sp) 2D mesh: batch axis x image-row axis."""
+    devs = jax.devices()
+    if dp * sp > len(devs):
+        raise ValueError(f"need {dp * sp} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:dp * sp]).reshape(dp, sp), ("dp", "sp"))
+
+
+def detect_and_compute_batch_2d(images: jax.Array, cfg: P.FeatureConfig,
+                                mesh: Mesh, mask: jax.Array | None = None):
+    """Batched detect+compute over a 2D (dp, sp) mesh: the batch axis
+    shards over `dp` and each image's rows shard over `sp` (the full
+    pyramid pipeline of detect_pyramid_rows_sharded, vmapped over the local
+    batch — collectives ride the sp rings of the mesh).  images: (B, H, W)
+    uint8, B divisible by mesh.shape['dp'].  Optional per-image masks
+    (B, H, W).  Returns (slots dict with leading batch dim, descriptors),
+    each bit-identical to the single-chip per-image results."""
+    b, h, w = images.shape
+    fn, pad_h = _pyramid_batch2d_jit(h, w, cfg, mesh, mask is not None)
+    padded = jnp.pad(images, ((0, 0), (0, pad_h), (0, 0)))
+    if mask is not None:
+        return fn(padded, jnp.asarray(mask) != 0)
+    return fn(padded)
+
+
+@functools.lru_cache(maxsize=None)
+def _pyramid_batch2d_jit(h: int, w: int, cfg: P.FeatureConfig, mesh: Mesh,
+                         with_mask: bool):
+    dp_ax, sp_ax = mesh.axis_names
+    n = mesh.shape[sp_ax]
+    band_fn, pad_h = _pyramid_band_builder(h, w, cfg, sp_ax, n,
+                                           with_descriptors=True,
+                                           with_mask=with_mask)
+    vband = jax.vmap(band_fn)
+    in_specs = (P_(dp_ax, sp_ax, None), P_(dp_ax, None, None)) if with_mask \
+        else (P_(dp_ax, sp_ax, None),)
+    sharded = jax.shard_map(vband, mesh=mesh, in_specs=in_specs,
+                            out_specs=P_(dp_ax), check_vma=False)
+    return jax.jit(sharded), pad_h

@@ -219,6 +219,28 @@ def test_api_mesh_masked_detect_matches_single_chip():
     np.testing.assert_array_equal(np.asarray(desc2), np.asarray(d1)[valid])
 
 
+def test_batch2d_dp_sp_matches_single_chip():
+    """dp x sp composition: a (2, 4) mesh shards the batch over dp and each
+    image's full pyramid over sp; every image's slots and descriptors are
+    bit-identical to the single-chip path."""
+    assert len(jax.devices()) >= 8
+    mesh = SH.make_mesh_2d(2, 4)
+    cfg = P.FeatureConfig(nfeatures=600, nlevels=4,
+                          descriptor_type="bad_256")
+    images = np.stack([make_test_image(512, 256, seed=150 + i)
+                       for i in range(4)])
+    slots, desc = SH.detect_and_compute_batch_2d(
+        jnp.asarray(images), cfg, mesh)
+    for i in range(4):
+        s1, d1 = P.detect_and_compute_jit(jnp.asarray(images[i]), cfg)
+        for k in ("x", "y", "response", "octave", "valid", "count"):
+            np.testing.assert_array_equal(np.asarray(slots[k])[i],
+                                          np.asarray(s1[k]))
+        v = np.asarray(s1["valid"])
+        np.testing.assert_array_equal(np.asarray(desc)[i][v],
+                                      np.asarray(d1)[v])
+
+
 def test_compute_sharded_keypoint_axis():
     """Descriptor-only compute with keypoints sharded over the mesh equals
     the single-chip gather path, rows in caller order."""
