@@ -415,12 +415,15 @@ class EfficientFeatures:
     # -- multi-chip scaling (no reference analogue: it is single-GPU) --------
 
     def detect_and_compute_batch(self, images, mesh=None, as_host=False):
-        """Batched detect+compute with the batch axis sharded over a device
-        mesh (dp).  images: (B, H, W) uint8, B divisible by the mesh size.
-        Returns (slot dict with leading batch dim, descriptors) sharded on
-        device; see parallel/sharding.py.  A single-device mesh is the
-        single-chip throughput path: B frames run inside ONE executable
-        (lax.map), amortizing per-dispatch overhead.
+        """Batched detect+compute sharded over a device mesh.  images:
+        (B, H, W) uint8.  A 1-axis mesh shards the batch (dp; B divisible
+        by the mesh size); a 2-axis mesh additionally row-shards each
+        image's pyramid over the second axis (dp x sp, B divisible by the
+        dp size — see sharding.detect_and_compute_batch_2d).  Returns
+        (slot dict with leading batch dim, descriptors) sharded on device;
+        see parallel/sharding.py.  A single-device mesh is the single-chip
+        throughput path: B frames run inside ONE executable (lax.map),
+        amortizing per-dispatch overhead.
 
         as_host=True instead fetches everything and returns a list of
         (KeyPoints, descriptors) per image, descriptor rows compacted to the
