@@ -46,19 +46,25 @@ def machine_fingerprint() -> str:
     return _FP
 
 
-def setup(base_dir: str, backend: str) -> str:
-    """Point JAX's persistent compile cache at ``base_dir/backend[-cpu-fp]``.
+def setup(base_dir: str, backend: str) -> str | None:
+    """Point JAX's persistent compile cache at ``base_dir/backend``.
 
-    Returns the directory chosen.  Keyed by backend so the TPU tier and the
-    virtual CPU mesh never share artifacts.  The CPU backend is additionally
-    keyed by host-CPU fingerprint so a cache written on one machine is never
-    deserialized on another; TPU executables are device code (host-portable),
-    so that cache stays shared to keep the minutes-long compiles warm.
+    TPU only.  CPU executables are NOT persisted at all: XLA:CPU bakes
+    compile-option pseudo-features (prefer-no-scatter/prefer-no-gather) into
+    the serialized AOT result that never match the loader's host-feature
+    probe — every read warns, and reads intermittently SEGFAULT in
+    ``get_executable_and_time`` even for a cache written minutes earlier on
+    the SAME machine (observed round 4; the round-3 host-CPU fingerprint
+    keying did not help because the mismatch is compile-option, not
+    hardware).  CPU compiles here are seconds-scale; correctness of the
+    test suite beats warm starts.  TPU executables are device code
+    (host-portable) and keep the minutes-long compiles warm.
     """
     import jax
 
-    sub = f"{backend}-{machine_fingerprint()}" if backend == "cpu" else backend
-    d = os.path.join(base_dir, sub)
+    if backend == "cpu":
+        return None
+    d = os.path.join(base_dir, backend)
     jax.config.update("jax_compilation_cache_dir", d)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     return d

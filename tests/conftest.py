@@ -30,10 +30,12 @@ import jax  # noqa: E402
 
 if not RUN_TPU:
     jax.config.update("jax_platforms", "cpu")
-# persistent compile cache: the suite is dominated by XLA-CPU compiles of the
-# many pipeline signatures; repeat runs drop from ~12 min to ~2 min.
-# Keyed by backend AND host-CPU fingerprint (utils/compile_cache.py): a CPU
-# executable cached on a different machine segfaults on deserialize.
+# persistent compile cache: TPU tier only.  For the CPU suite this is now a
+# no-op inside compile_cache.setup — persisted XLA:CPU executables
+# intermittently SEGFAULT on deserialize even same-machine (compile-option
+# pseudo-features never match the loader's host probe; observed round 4 in
+# test_sample_image_sequence).  Cold CPU compiles cost ~2-3 min per full run;
+# a deterministic green suite is worth it.
 import sys  # noqa: E402
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from efficient_features_tpu.utils import compile_cache  # noqa: E402
