@@ -291,6 +291,21 @@ def main():
         "core spatial-bin columns only and skips the provably-zero "
         "orientation-bin-9 matmul — 60% of hist matmul FLOPs removed, "
         "verified bit-identical",
+        "warp_packed_gather": "round 4: the left/right bilinear one-hot "
+        "gathers ride ONE matmul (right selector weighted 4096; fields are "
+        "exact integers < 2^24 in the f32 accumulator, unpacked by a "
+        "power-of-two divide) — halves the warp kernels' dominant MXU work "
+        "bit-identically; same packing halves the fused-HS gradient "
+        "constant (dx + 4096*dy)",
+        "bad_formulation": "round 4: roll-free kernel built (per-DMA int8 "
+        "window cache, one-hot column compaction, XLA-side trig; "
+        "formulation= static arg) — see the compute40k_bad256_noroll/roll "
+        "rows in this file for the on-chip A/B; default stays 'roll' until "
+        "noroll wins on chip (window_kernels._BAD_FORMULATION)",
+        "cpu_compile_cache": "round 4: XLA:CPU executables are never "
+        "persisted — same-machine cache reads intermittently segfault in "
+        "get_executable_and_time (compile-option pseudo-features never "
+        "match the loader's host probe); TPU cache unaffected",
     }
 
     ms = best["detect_and_compute_4k_40k_bad_256"]
