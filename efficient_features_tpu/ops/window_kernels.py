@@ -233,12 +233,12 @@ def _bad_bits_row(win8, rows_t, cols_t, pack, par6, scal, oy_l, ox_l, *,
 
     `win8` is the -128-biased int8 window in local coordinates with origin
     (oy_l, ox_l); `rows_t`/`cols_t` are int32 iotas whose leading dims match
-    win8's (rows, cols).  Computes transformed box corners
-    (transformBoxPairParams, cuda_bad.cu:149-157), indicator box sums on the
-    int8 MXU, the threshold compare with the exact division-free border
-    branch (+ 12-bit-truncated exact products for wide boxes), the border
-    select, and the MSB-first byte pack.  Returns the (1, nbits//8) f32
-    byte row."""
+    win8's (rows, cols) and whose lane width is 2*nbits (both boxes ride one
+    MXU pass).  Computes transformed box corners (transformBoxPairParams,
+    cuda_bad.cu:149-157), indicator box sums on the int8 MXU, the threshold
+    compare with the exact division-free border branch (+ 12-bit-truncated
+    exact products for wide boxes), the border select, and the MSB-first
+    byte pack.  Returns the (1, nbits//8) f32 byte row."""
     bx1, bx2, by1, by2, br, thv = par6
     kx, ky, s, cost, sint, m02, m12 = scal
 
@@ -250,6 +250,7 @@ def _bad_bits_row(win8, rows_t, cols_t, pack, par6, scal, oy_l, ox_l, *,
     tx2 = rnd(cost * bx2 - sint * by2 + m02) - ox_l
     ty2 = rnd(sint * bx2 + cost * by2 + m12) - oy_l
     tbr = rnd(s * br)
+    nb = tbr.shape[1]                                   # nbits
 
     # clamped integral corners; for interior keypoints the clamps never
     # bind (1.75 margin), so these sums serve both paths exactly
@@ -258,32 +259,42 @@ def _bad_bits_row(win8, rows_t, cols_t, pack, par6, scal, oy_l, ox_l, *,
     lo_x = -ox_l
     hi_x = jnp.int32(img_w) - ox_l
 
-    def box_sums(cy, cx):
-        iy1 = jnp.clip(cy - tbr, lo_y, hi_y - 1)
-        iy2 = jnp.clip(cy + tbr + 1, lo_y + 1, hi_y)
-        ix1 = jnp.clip(cx - tbr, lo_x, hi_x - 1)
-        ix2 = jnp.clip(cx + tbr + 1, lo_x + 1, hi_x)
-        # range indicator in ONE unsigned compare per (dim, bit) block
-        # instead of two compares + AND (the indicator builds are a VPU
-        # floor): t in [a, b) <=> u32(t - a) < u32(b - a)
-        cc = ((cols_t - ix1).astype(jnp.uint32)
-              < (ix2 - ix1).astype(jnp.uint32))
-        rr = ((rows_t - iy1).astype(jnp.uint32)
-              < (iy2 - iy1).astype(jnp.uint32))
-        # int8 MXU path (2x the bf16 rate): pixels re-biased to [-128, 127];
-        # the -128 bias contributes exactly -128*area to each box sum (every
-        # selected cell is a real image pixel inside the window), undone
-        # here.  All values stay exact int32: box sums <= 255*side^2 <=
-        # 255*(2*rnd(7*s)+1)^2 (< 2^21 even at the s=6 bucket cap).
-        z = jnp.dot(win8, cc.astype(jnp.int8),
-                    preferred_element_type=jnp.int32)
-        area = (iy2 - iy1) * (ix2 - ix1)                # (1, nbits)
-        ssum = (rr.astype(jnp.int32) * z).sum(axis=0, keepdims=True) \
-            + 128 * area
-        return ssum, area                               # exact int32
+    # BOTH boxes of every pair ride ONE box-sum matmul: their centers
+    # concatenate along the bit (lane) axis — slices land at lane offset
+    # nbits, a multiple of 128 — so each keypoint issues one
+    # (rows, cols)@(cols, 2*nbits) MXU pass and one rr mult-reduce instead
+    # of two of each.  Same exact products, half the op issues; the
+    # stage profile pinned the BAD floor on per-keypoint fixed work (MXU
+    # issue among it), not MACs (BENCH_DETAIL stage_profile, round 3.5).
+    cyb = jnp.concatenate([ty1, ty2], axis=1)           # (1, 2*nbits)
+    cxb = jnp.concatenate([tx1, tx2], axis=1)
+    tbr2 = jnp.concatenate([tbr, tbr], axis=1)
 
-    s1i, a1i = box_sums(ty1, tx1)
-    s2i, a2i = box_sums(ty2, tx2)
+    iy1 = jnp.clip(cyb - tbr2, lo_y, hi_y - 1)
+    iy2 = jnp.clip(cyb + tbr2 + 1, lo_y + 1, hi_y)
+    ix1 = jnp.clip(cxb - tbr2, lo_x, hi_x - 1)
+    ix2 = jnp.clip(cxb + tbr2 + 1, lo_x + 1, hi_x)
+    # range indicator in ONE unsigned compare per (dim, bit) block
+    # instead of two compares + AND (the indicator builds are a VPU
+    # floor): t in [a, b) <=> u32(t - a) < u32(b - a)
+    cc = ((cols_t - ix1).astype(jnp.uint32)
+          < (ix2 - ix1).astype(jnp.uint32))
+    rr = ((rows_t - iy1).astype(jnp.uint32)
+          < (iy2 - iy1).astype(jnp.uint32))
+    # int8 MXU path (2x the bf16 rate): pixels re-biased to [-128, 127];
+    # the -128 bias contributes exactly -128*area to each box sum (every
+    # selected cell is a real image pixel inside the window), undone
+    # here.  All values stay exact int32: box sums <= 255*side^2 <=
+    # 255*(2*rnd(7*s)+1)^2 (< 2^21 even at the s=6 bucket cap).
+    z = jnp.dot(win8, cc.astype(jnp.int8),
+                preferred_element_type=jnp.int32)
+    area2 = (iy2 - iy1) * (ix2 - ix1)                   # (1, 2*nbits)
+    ssum = (rr.astype(jnp.int32) * z).sum(axis=0, keepdims=True) \
+        + 128 * area2                                   # exact int32
+    s1i = jax.lax.slice(ssum, (0, 0), (1, nb))
+    s2i = jax.lax.slice(ssum, (0, nb), (1, 2 * nb))
+    a1i = jax.lax.slice(area2, (0, 0), (1, nb))
+    a2i = jax.lax.slice(area2, (0, nb), (1, 2 * nb))
     side = (1 + 2 * tbr).astype(jnp.float32)
     bit_fast = ((s1i - s2i).astype(jnp.float32)
                 <= thv * (side * side))
@@ -353,8 +364,8 @@ def _bad_kernel(by_ref, bx_ref, meta_ref, nstart_ref,
     ch = 2 * half                         # to its center; every box corner,
                                           # image-bound clamps included, stays
                                           # within +-half (see bad_geom)
-    rows_t = jax.lax.broadcasted_iota(jnp.int32, (ch, nbits), 0)
-    cols_t = jax.lax.broadcasted_iota(jnp.int32, (cw, nbits), 0)
+    rows_t = jax.lax.broadcasted_iota(jnp.int32, (ch, 2 * nbits), 0)
+    cols_t = jax.lax.broadcasted_iota(jnp.int32, (cw, 2 * nbits), 0)
     pack = _pack_mat(nbits)
 
     def get_dma(slot, idx):
@@ -453,8 +464,8 @@ def _bad_kernel_noroll(by_ref, bx_ref, meta_ref, nstart_ref,
     thv = par[5:6, :]
 
     cw = 2 * half
-    rows_t = jax.lax.broadcasted_iota(jnp.int32, (win_h, nbits), 0)
-    cols_t = jax.lax.broadcasted_iota(jnp.int32, (cw, nbits), 0)
+    rows_t = jax.lax.broadcasted_iota(jnp.int32, (win_h, 2 * nbits), 0)
+    cols_t = jax.lax.broadcasted_iota(jnp.int32, (cw, 2 * nbits), 0)
     pack = _pack_mat(nbits)
     csel = jax.lax.broadcasted_iota(jnp.int32, (win_w, cw), 0)
     jsel = jax.lax.broadcasted_iota(jnp.int32, (win_w, cw), 1)
