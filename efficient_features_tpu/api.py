@@ -335,6 +335,12 @@ class EfficientFeatures:
             nfeatures=nfeatures, scale_factor=scale_factor, nlevels=nlevels,
             first_level=first_level, fast_threshold=fast_threshold,
             nonmax_radius=nonmax_radius, descriptor_type=descriptor_type)
+        # validate descriptor_type eagerly, like the reference's
+        # createDescriber call in the impl constructor
+        # (cuda_efficient_features.cpp:48-69)
+        if descriptor_type not in P.DESCRIPTOR_TYPES:
+            raise ValueError(
+                f"descriptor_type must be one of {P.DESCRIPTOR_TYPES}")
 
     create = staticmethod(lambda *a, **kw: EfficientFeatures(*a, **kw))
 

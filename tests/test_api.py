@@ -72,6 +72,10 @@ def test_param_setters():
     assert feat.descriptor_size() == 64
     with pytest.raises(ValueError):
         feat.set_descriptor_type("orb")
+    # the constructor gates eagerly too (the reference's createDescriber
+    # runs in the impl constructor, cuda_efficient_features.cpp:48-69)
+    with pytest.raises(ValueError):
+        EfficientFeatures(descriptor_type="bad_128")
 
 
 def test_first_level_skips_level0(img):
