@@ -13,6 +13,7 @@ axon TPU plugin overrides it; jax.config.update('jax_platforms', ...) before
 first backend use is authoritative.  XLA_FLAGS must be set before backend
 initialization for the virtual device count.
 """
+import itertools
 import os
 
 import pytest
@@ -47,6 +48,27 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "tpu: compiled-kernel parity tier; needs a real TPU "
         "(run with EFF_TPU_TESTS=1)")
+
+
+_MODULES_PER_CACHE_CLEAR = 3
+_module_counter = itertools.count(1)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound in-process XLA:CPU state: two full-suite runs segfaulted inside
+    backend_compile_and_load at test_samples (the same compile passes in
+    isolation and in smaller combinations), i.e. a state-dependent XLA:CPU
+    compiler crash after ~100 accumulated executables.  Dropping compiled
+    executables periodically keeps the peak executable count a fraction of
+    a full run's.  Clearing every module was measured at 30 min suite time
+    on a 1-core machine (vs ~6 min historically) because shared fixture
+    shapes recompile each wave — every 3rd module bounds the peak at about
+    a quarter of a full accumulation for a third of the waves."""
+    yield
+    if next(_module_counter) % _MODULES_PER_CACHE_CLEAR == 0:
+        import jax
+        jax.clear_caches()
 
 
 def pytest_collection_modifyitems(config, items):
