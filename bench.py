@@ -153,13 +153,14 @@ def main():
                 img4k, kp40, valid40, 256, kind, 1.0, br40),
             8, base))
 
-    # A/B: roll-free BAD formulation (round-4: per-DMA int8 cache + one-hot
-    # column compaction + XLA-side trig) vs the round-2/3 per-keypoint
-    # window-rotation kernel (same synthetic 40k size-31 keypoints; the
-    # settled DMA A/B — group vs per-program re-DMA, equal within noise —
-    # is recorded in decisions)
+    # A/B: BAD kernel formulations on the same synthetic 40k size-31
+    # keypoints — "roll" (round-2/3 per-keypoint window rotation), "noroll"
+    # (round-4: per-DMA int8 cache + one-hot column compaction + XLA-side
+    # trig), "pair" (round-5: roll base, two keypoints block-diagonal in one
+    # full-MXU-tile box matmul).  The settled DMA A/B — group vs per-program
+    # re-DMA, equal within noise — is recorded in decisions.
     kx, ky, ksz, kang = (kps_j[:, 0], kps_j[:, 1], kps_j[:, 2], kps_j[:, 3])
-    for form in ("noroll", "roll"):
+    for form in ("noroll", "roll", "pair"):
         metrics.append((
             f"compute40k_bad256_{form}",
             lambda form=form: WKm.bad_descriptors_windows(

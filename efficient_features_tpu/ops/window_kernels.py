@@ -250,7 +250,6 @@ def _bad_bits_row(win8, rows_t, cols_t, pack, par6, scal, oy_l, ox_l, *,
     tx2 = rnd(cost * bx2 - sint * by2 + m02) - ox_l
     ty2 = rnd(sint * bx2 + cost * by2 + m12) - oy_l
     tbr = rnd(s * br)
-    nb = tbr.shape[1]                                   # nbits
 
     # clamped integral corners; for interior keypoints the clamps never
     # bind (1.75 margin), so these sums serve both paths exactly
@@ -291,6 +290,18 @@ def _bad_bits_row(win8, rows_t, cols_t, pack, par6, scal, oy_l, ox_l, *,
     area2 = (iy2 - iy1) * (ix2 - ix1)                   # (1, 2*nbits)
     ssum = (rr.astype(jnp.int32) * z).sum(axis=0, keepdims=True) \
         + 128 * area2                                   # exact int32
+    return _bad_compare_pack(ssum, area2, tbr, thv, pack,
+                             (kx, ky, s), wide_boxes=wide_boxes,
+                             img_w=img_w, img_h=img_h)
+
+
+def _bad_compare_pack(ssum, area2, tbr, thv, pack, kxys, *,
+                      wide_boxes, img_w, img_h):
+    """Threshold compare + border select + MSB-first byte pack from the
+    both-boxes-concatenated (1, 2*nbits) box sums/areas (exact int32).
+    Shared by all BAD kernel formulations."""
+    kx, ky, s = kxys
+    nb = tbr.shape[1]                                   # nbits
     s1i = jax.lax.slice(ssum, (0, 0), (1, nb))
     s2i = jax.lax.slice(ssum, (0, nb), (1, 2 * nb))
     a1i = jax.lax.slice(area2, (0, 0), (1, nb))
@@ -524,6 +535,146 @@ def _bad_kernel_noroll(by_ref, bx_ref, meta_ref, nstart_ref,
     jax.lax.fori_loop(0, _BAD_KPB, body, 0)
 
 
+def _bad_kernel_pair(by_ref, bx_ref, meta_ref, nstart_ref,
+                     kp_ref, par_ref, img_hbm, out_ref, win_ref, lhs_ref,
+                     sem, *, nbits, img_w, img_h,
+                     win_h=96, win_w=256, half=32, wide_boxes=False):
+    """BAD window kernel, keypoint-PAIRED box matmul (formulation="pair").
+
+    The "roll" formulation's per-keypoint box matmul LHS is
+    (2*half, 2*half) = (64, 64) at the base bucket — a quarter of an MXU
+    tile.  Here two keypoints' rotated windows sit in the diagonal blocks
+    of ONE (4*half, 4*half) int8 LHS (the _warp_kernel pairing trick) and
+    their indicator factors stack along the contraction axis with
+    per-half bounds, so each PAIR issues a single
+    (4*half, 4*half)@(4*half, 2*nbits) box matmul — the full systolic
+    array every pass, half the per-keypoint MXU issues of "roll" on top
+    of the both-boxes lane concat.  Affine scalars arrive precomputed in
+    the kp block (XLA-side trig, as in "noroll").  Box sums stay the
+    exact int8 x {0,1} integer products of the unpaired kernels: the
+    zero off-diagonal blocks contribute exact int32 zeros."""
+    i = pl.program_id(0)
+    par = par_ref[...]                    # (8, nbits): x1 x2 y1 y2 r th rows
+    bx1 = par[0:1, :]
+    bx2 = par[1:2, :]
+    by1 = par[2:3, :]
+    by2 = par[3:4, :]
+    br = par[4:5, :]
+    thv = par[5:6, :]
+
+    cw = 2 * half
+    ch = 2 * half
+    # joint iotas spanning both halves: *loc is the within-half coordinate,
+    # *hi selects which keypoint's bounds apply on that row
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (2 * ch, 2 * nbits), 0)
+    rhi = rows2 >= ch
+    rloc = rows2 - jnp.where(rhi, ch, 0)
+    kons2 = jax.lax.broadcasted_iota(jnp.int32, (2 * cw, 2 * nbits), 0)
+    khi = kons2 >= cw
+    kloc = kons2 - jnp.where(khi, cw, 0)
+    pack = _pack_mat(nbits)
+
+    def get_dma(slot, idx):
+        return pltpu.make_async_copy(
+            img_hbm.at[pl.ds(pl.multiple_of(by_ref[idx], 8), win_h),
+                       pl.ds(pl.multiple_of(bx_ref[idx], 128), win_w)],
+            win_ref.at[slot], sem.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        get_dma(meta_ref[0] & 1, 0).start()
+
+    # zero the off-diagonal blocks once; the pair loop only rewrites the
+    # diagonal blocks
+    lhs_ref[...] = jnp.zeros((2 * ch, 2 * cw), jnp.int8)
+
+    def rnd(v):
+        return jnp.trunc(v + np.float32(0.5)).astype(jnp.int32)
+
+    def half_geom(k):
+        """DMA bookkeeping + rotated (ch, cw) int8 window + this keypoint's
+        concatenated both-box clip bounds/areas (all (1, 2*nbits))."""
+        idx = i * _BAD_KPB + k
+        meta = meta_ref[idx]
+        slot = meta & 1
+
+        @pl.when((meta >> 1) == 1)
+        def _():
+            nxt = nstart_ref[idx]
+
+            @pl.when(nxt < nstart_ref.shape[0])
+            def _():
+                get_dma(1 - slot, nxt).start()
+
+            get_dma(slot, idx).wait()
+
+        kx, ky, s, cost, sint, m02, m12 = _affine_from_block(kp_ref, k)
+        oy = by_ref[idx]
+        ox = bx_ref[idx]
+        shift_x = jnp.floor(kx).astype(jnp.int32) - ox - half
+        shift_y = jnp.floor(ky).astype(jnp.int32) - oy - half
+        win_rot = pltpu.roll(win_ref[slot].astype(jnp.int32),
+                             (win_w - shift_x) % win_w, 1)
+        win_rot = pltpu.roll(win_rot, (win_h - shift_y) % win_h, 0)
+        win8 = (jax.lax.slice(win_rot, (0, 0), (ch, cw))
+                - 128).astype(jnp.int8)
+
+        ox_l = ox + shift_x
+        oy_l = oy + shift_y
+        tx1 = rnd(cost * bx1 - sint * by1 + m02) - ox_l
+        ty1 = rnd(sint * bx1 + cost * by1 + m12) - oy_l
+        tx2 = rnd(cost * bx2 - sint * by2 + m02) - ox_l
+        ty2 = rnd(sint * bx2 + cost * by2 + m12) - oy_l
+        tbr = rnd(s * br)
+        lo_y = -oy_l
+        hi_y = jnp.int32(img_h) - oy_l
+        lo_x = -ox_l
+        hi_x = jnp.int32(img_w) - ox_l
+        cyb = jnp.concatenate([ty1, ty2], axis=1)       # (1, 2*nbits)
+        cxb = jnp.concatenate([tx1, tx2], axis=1)
+        tbr2 = jnp.concatenate([tbr, tbr], axis=1)
+        iy1 = jnp.clip(cyb - tbr2, lo_y, hi_y - 1)
+        iy2 = jnp.clip(cyb + tbr2 + 1, lo_y + 1, hi_y)
+        ix1 = jnp.clip(cxb - tbr2, lo_x, hi_x - 1)
+        ix2 = jnp.clip(cxb + tbr2 + 1, lo_x + 1, hi_x)
+        area2 = (iy2 - iy1) * (ix2 - ix1)
+        return win8, iy1, iy2, ix1, ix2, area2, tbr, (kx, ky, s)
+
+    def body(p, carry):
+        k0 = 2 * p
+        w0, iy1_0, iy2_0, ix1_0, ix2_0, area_0, tbr_0, kxys_0 = half_geom(k0)
+        w1, iy1_1, iy2_1, ix1_1, ix2_1, area_1, tbr_1, kxys_1 = \
+            half_geom(k0 + 1)
+        lhs_ref[0:ch, 0:cw] = w0                        # static offsets
+        lhs_ref[ch:2 * ch, cw:2 * cw] = w1
+
+        # joint indicators with per-half bounds (the (1, 2*nbits) bound rows
+        # broadcast against the joint masks); same unsigned-range compare as
+        # the unpaired kernels
+        cc = ((kloc - jnp.where(khi, ix1_1, ix1_0)).astype(jnp.uint32)
+              < jnp.where(khi, ix2_1 - ix1_1,
+                          ix2_0 - ix1_0).astype(jnp.uint32))
+        rr = ((rloc - jnp.where(rhi, iy1_1, iy1_0)).astype(jnp.uint32)
+              < jnp.where(rhi, iy2_1 - iy1_1,
+                          iy2_0 - iy1_0).astype(jnp.uint32))
+        z = jnp.dot(lhs_ref[...], cc.astype(jnp.int8),
+                    preferred_element_type=jnp.int32)   # (2*ch, 2*nbits)
+        prod = rr.astype(jnp.int32) * z
+        ssum0 = prod[0:ch].sum(axis=0, keepdims=True) + 128 * area_0
+        ssum1 = prod[ch:2 * ch].sum(axis=0, keepdims=True) + 128 * area_1
+        b0 = _bad_compare_pack(ssum0, area_0, tbr_0, thv, pack, kxys_0,
+                               wide_boxes=wide_boxes,
+                               img_w=img_w, img_h=img_h)
+        b1 = _bad_compare_pack(ssum1, area_1, tbr_1, thv, pack, kxys_1,
+                               wide_boxes=wide_boxes,
+                               img_w=img_w, img_h=img_h)
+        out_ref[pl.ds(k0, 1), :] = b0
+        out_ref[pl.ds(k0 + 1, 1), :] = b1
+        return carry
+
+    jax.lax.fori_loop(0, _BAD_KPB // 2, body, 0)
+
+
 def _window_key(by, bx, pad_w):
     """Collision-free sort/group key for (row, col) window origins: bx is a
     multiple of 128, so index the 128-wide column slots — works for any image
@@ -602,10 +753,12 @@ def _bad_descriptors_windows_impl(image, x, y, size, angle, valid,
     see BENCH_DETAIL dma_ab).
     `formulation` (static): "noroll" (round-4 — per-DMA cached int8 window,
     one-hot column compaction, XLA-side affine scalars; see
-    _bad_kernel_noroll) or "roll" (round-2/3 per-keypoint window rotation).
-    Default is _BAD_FORMULATION; the on-chip A/B decides it (see BENCH_DETAIL
+    _bad_kernel_noroll), "roll" (round-2/3 per-keypoint window rotation), or
+    "pair" (round-5 — roll base with two keypoints block-diagonal in one
+    full-tile box matmul; see _bad_kernel_pair).  Default is
+    _BAD_FORMULATION; the on-chip A/B decides it (see BENCH_DETAIL
     bad_formulation)."""
-    if formulation not in ("noroll", "roll"):
+    if formulation not in ("noroll", "roll", "pair"):
         raise ValueError(f"unknown formulation: {formulation!r}")
     if dma_mode not in ("group", "program"):
         raise ValueError(f"unknown dma_mode: {dma_mode!r}")
@@ -631,7 +784,7 @@ def _bad_descriptors_windows_impl(image, x, y, size, angle, valid,
         grp, start, nstart = _window_groups(
             _window_key(by, bx, pad_w), _BAD_KPB)
     meta = ((grp & 1) | (start << 1)).astype(jnp.int32)
-    if formulation == "noroll":
+    if formulation in ("noroll", "pair"):
         # trig batched out of the in-kernel scalar core
         kp = _affine_block(kx, ky, ks, ka, scale_factor)
     else:
@@ -658,6 +811,13 @@ def _bad_descriptors_windows_impl(image, x, y, size, angle, valid,
                                    half=geom.half, wide_boxes=wide)
         kp_cols = 8
         scratch.append(pltpu.VMEM((2, geom.win_h, geom.win_w), jnp.int8))
+    elif formulation == "pair":
+        kernel = functools.partial(_bad_kernel_pair, nbits=nbits,
+                                   img_w=w, img_h=h,
+                                   win_h=geom.win_h, win_w=geom.win_w,
+                                   half=geom.half, wide_boxes=wide)
+        kp_cols = 8
+        scratch.append(pltpu.VMEM((4 * geom.half, 4 * geom.half), jnp.int8))
     else:
         kernel = functools.partial(_bad_kernel, nbits=nbits,
                                    scale_factor=scale_factor,

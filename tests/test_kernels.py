@@ -46,7 +46,7 @@ def test_nms_kernel_bit_exact(img):
         np.testing.assert_array_equal(expect, got)
 
 
-@pytest.mark.parametrize("formulation", ["noroll", "roll"])
+@pytest.mark.parametrize("formulation", ["noroll", "roll", "pair"])
 def test_bad_window_kernel_exact(img, formulation):
     h, w = img.shape
     x, y, size, angle = make_keypoints(h, w, 16, seed=4)

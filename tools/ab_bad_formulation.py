@@ -1,4 +1,5 @@
-"""Same-session A/B: BAD window-kernel formulation "roll" vs "noroll".
+"""Same-session A/B: BAD window-kernel formulations "roll" / "noroll" /
+"pair".
 
 Protocol: one-element host read, >= 16 queued dispatches per window,
 interleaved passes (CLAUDE.md timing gotchas).  Run on the real TPU chip.
@@ -49,19 +50,20 @@ def main():
     valid = np.ones(n, bool)
     args = [jnp.asarray(a) for a in (x, y, size, angle, valid)]
 
-    # Mosaic smoke test first: compile the noroll kernel at a tiny grid
+    # Mosaic smoke test first: compile the new kernels at a tiny grid
     # before committing to the 40k compiles (a pathological compile should
     # surface here, cheaply)
-    t0 = time.perf_counter()
-    tiny = np.asarray(WK.bad_descriptors_windows(
-        img, *(a[:256] for a in args[:4]), args[4][:256], 256, 1.0,
-        formulation="noroll"))
-    print(f"noroll tiny-compile ok in {time.perf_counter()-t0:.1f}s, "
-          f"sum={int(tiny.sum())}", file=sys.stderr)
+    for form in ("noroll", "pair"):
+        t0 = time.perf_counter()
+        tiny = np.asarray(WK.bad_descriptors_windows(
+            img, *(a[:256] for a in args[:4]), args[4][:256], 256, 1.0,
+            formulation=form))
+        print(f"{form} tiny-compile ok in {time.perf_counter()-t0:.1f}s, "
+              f"sum={int(tiny.sum())}", file=sys.stderr)
 
     cases = {}
     for nbits in (256, 512):
-        for form in ("roll", "noroll"):
+        for form in ("roll", "noroll", "pair"):
             cases[f"bad{nbits}_{form}"] = (
                 lambda nbits=nbits, form=form: WK.bad_descriptors_windows(
                     img, *args, nbits, 1.0, formulation=form))
@@ -69,12 +71,13 @@ def main():
     # parity check on chip first (exactness contract: identical bytes up to
     # the trig-ULP budget; angles are arbitrary so allow the 2e-5 budget)
     a = np.asarray(cases["bad256_roll"]())
-    b = np.asarray(cases["bad256_noroll"]())
-    diff = int((a != b).sum())
-    budget = int(2e-5 * a.size) + 1
-    print(f"on-chip roll-vs-noroll differing bytes: {diff} "
-          f"(budget {budget})", file=sys.stderr)
-    assert diff <= budget, (diff, budget)
+    for other in ("noroll", "pair"):
+        b = np.asarray(cases[f"bad256_{other}"]())
+        diff = int((a != b).sum())
+        budget = int(2e-5 * a.size) + 1
+        print(f"on-chip roll-vs-{other} differing bytes: {diff} "
+              f"(budget {budget})", file=sys.stderr)
+        assert diff <= budget, (other, diff, budget)
 
     # bucket-geometry compile + parity on chip (wide-box branch, s_max > 3.2;
     # Mosaic shapes the interpret-mode CPU tests cannot validate)
@@ -86,15 +89,16 @@ def main():
     vb = jnp.ones(nb, bool)
     s_max = WK.bucket_scale(float(150.0 / 32.0))
     wide = {}
-    for form in ("roll", "noroll"):
+    for form in ("roll", "noroll", "pair"):
         wide[form] = np.asarray(WK.bad_descriptors_windows(
             img, xb, yb, szb, anb, vb, 256, 1.0, s_max, "group",
             formulation=form))
-    diffw = int((wide["roll"] != wide["noroll"]).sum())
-    budgetw = int(2e-5 * wide["roll"].size) + 1
-    print(f"on-chip WIDE-bucket roll-vs-noroll differing bytes: {diffw} "
-          f"(budget {budgetw})", file=sys.stderr)
-    assert diffw <= budgetw, (diffw, budgetw)
+    for other in ("noroll", "pair"):
+        diffw = int((wide["roll"] != wide[other]).sum())
+        budgetw = int(2e-5 * wide["roll"].size) + 1
+        print(f"on-chip WIDE-bucket roll-vs-{other} differing bytes: "
+              f"{diffw} (budget {budgetw})", file=sys.stderr)
+        assert diffw <= budgetw, (other, diffw, budgetw)
 
     results = {k: [] for k in cases}
     for p in range(3):

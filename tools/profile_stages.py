@@ -152,15 +152,17 @@ def main():
                         WK.bad_descriptors_windows(img, kx, ky, sz, ang,
                                                    ok, nb, 1.0),
                     iters=6)
-            # roll-free formulation A/B rows (round 4): same keypoints, the
+            # formulation A/B rows: same keypoints through the round-4
             # noroll kernel (per-DMA int8 cache, one-hot column compaction,
-            # XLA-side trig) vs the default above
-            reg(f"bad256_{tag}_{n // 1024}k_noroll_ms",
-                lambda kx=kx, ky=ky, sz=sz, ang=ang, ok=ok:
-                    WK.bad_descriptors_windows(img, kx, ky, sz, ang, ok,
-                                               256, 1.0,
-                                               formulation="noroll"),
-                iters=6)
+            # XLA-side trig) and the round-5 pair kernel (two keypoints
+            # block-diagonal in one full-tile box matmul) vs the default
+            for form in ("noroll", "pair"):
+                reg(f"bad256_{tag}_{n // 1024}k_{form}_ms",
+                    lambda kx=kx, ky=ky, sz=sz, ang=ang, ok=ok, form=form:
+                        WK.bad_descriptors_windows(img, kx, ky, sz, ang, ok,
+                                                   256, 1.0,
+                                                   formulation=form),
+                    iters=6)
 
     # --- HashSIFT two-stage split -----------------------------------------
     n = 40960
