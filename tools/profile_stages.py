@@ -194,6 +194,43 @@ def main():
         reg(f"hs_hist40k_{prec}_ms",
             lambda f=f: f(patches), iters=6)
 
+    # hist sub-stage shares (time only, results are WRONG by construction):
+    # the precision ladder showed the 9 core matmuls are not the bound, so
+    # split the VPU side — "noori" replaces the atan2+binning with a
+    # constant orientation field (its delta vs the real row = the atan2 +
+    # bin-select share), "nomag" additionally replaces the sqrt magnitude
+    # (delta = the sqrt share).  Both keep all 9 matmuls and the
+    # normalize/quantize tail.
+    def _hist_ablate(p, drop_mag):
+        pp = p.reshape(-1, 32, 32).astype(jnp.float32)
+        dx = pp[:, 1:-1, 2:] - pp[:, 1:-1, :-2]
+        dy = pp[:, :-2, 1:-1] - pp[:, 2:, 1:-1]
+        m = (dx * dx + dy * dy).reshape(pp.shape[0], -1)
+        mag = m if drop_mag else jnp.sqrt(m)
+        oi = (jax.lax.broadcasted_iota(jnp.int32, mag.shape, 1) % 8)
+        of = mag * np.float32(1e-3)          # data-dependent, transcendental-free
+        v_hi = of * mag
+        v_lo = mag - v_hi
+        Wcore = jnp.asarray(OH._spatial_weight_matrix())[:, :16]
+        hists = [jnp.dot(jnp.where(oi == o, v_lo, 0.0)
+                         + jnp.where(oi + 1 == o, v_hi, 0.0), Wcore,
+                         preferred_element_type=jnp.float32,
+                         precision="highest") for o in range(9)]
+        core = jnp.stack(hists, axis=-1).reshape(pp.shape[0], 4, 4, 9)
+        core = core[..., :8].at[..., 0].add(core[..., 8])
+        d = core.reshape(pp.shape[0], 128)
+        eps = np.float32(np.finfo(np.float32).eps)
+        nrm = jnp.maximum(jnp.sqrt((d * d).sum(axis=1)), eps)
+        d = jnp.minimum(d / nrm[:, None], np.float32(0.2))
+        nrm = jnp.maximum(jnp.sqrt((d * d).sum(axis=1)), eps)
+        d = jnp.clip(jnp.trunc(np.float32(512.0) * d / nrm[:, None]
+                               + np.float32(0.5)), 0, 255)
+        return d
+    hist_noori = jax.jit(functools.partial(_hist_ablate, drop_mag=False))
+    hist_nomag = jax.jit(functools.partial(_hist_ablate, drop_mag=True))
+    reg("hs_hist40k_noori_ms", lambda: hist_noori(patches), iters=6)
+    reg("hs_hist40k_nomag_ms", lambda: hist_nomag(patches), iters=6)
+
     # --- interleaved measurement ------------------------------------------
     for _, fn, _ in registry:
         read(fn())          # compile + warm
