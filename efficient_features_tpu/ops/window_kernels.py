@@ -34,6 +34,7 @@ keypoints (size=31, scale<=1); callers fall back to the XLA gather path above
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -221,10 +222,13 @@ def _affine_from_block(kp_ref, k):
 _BAD_KPB = 32
 
 # Default BAD kernel formulation: "roll" (round-2/3, per-keypoint window
-# rotation, Mosaic-proven on chip) until the round-4 on-chip A/B
-# (tools/ab_bad_formulation.py, BENCH_DETAIL bad_formulation) validates
-# "noroll" compiled; flip here when the A/B decides.
-_BAD_FORMULATION = "roll"
+# rotation, Mosaic-proven on chip) until the on-chip A/B
+# (tools/ab_bad_formulation.py, BENCH_DETAIL bad_formulation) validates a
+# challenger ("noroll" round 4, "pair" round 5) compiled; flip here when
+# the A/B decides.  EFF_TPU_BAD_FORMULATION overrides (read at import, so
+# full pipelines — detect_and_compute included — can be A/B'd per process
+# without code edits).
+_BAD_FORMULATION = os.environ.get("EFF_TPU_BAD_FORMULATION", "roll")
 
 
 def _bad_bits_row(win8, rows_t, cols_t, pack, par6, scal, oy_l, ox_l, *,
