@@ -108,6 +108,34 @@ def test_bad_100k_keypoints_compiled():
     assert (got[sub] != want).sum() <= max(8, int(2e-5 * want.size))
 
 
+def test_bad_formulations_compiled_parity():
+    """All BAD kernel formulations (roll / noroll / pair) COMPILED on chip
+    against the oracle — Mosaic shapes the interpret-mode CPU tests cannot
+    validate (dynamic rolls, one-hot compaction, block-diagonal pairing)."""
+    from efficient_features_tpu.ops import window_kernels as WK
+    from efficient_features_tpu.cpu import descriptors as DC
+    import jax.numpy as jnp
+
+    photo = np.asarray(Image.open(os.path.join(DATA, "real_photo.png")))
+    h, w = photo.shape
+    rng = np.random.default_rng(21)
+    n = 2048
+    x = rng.uniform(2, w - 3, n).astype(np.float32)
+    y = rng.uniform(2, h - 3, n).astype(np.float32)
+    size = np.full(n, 31.0, np.float32)
+    angle = rng.uniform(-1, 360, n).astype(np.float32)
+    valid = np.ones(n, bool)
+    for nbits in (256, 512):
+        want = DC.bad_descriptors(photo, x, y, size, angle, nbits=nbits)
+        for form in ("roll", "noroll", "pair"):
+            got = np.asarray(WK.bad_descriptors_windows(
+                jnp.asarray(photo), jnp.asarray(x), jnp.asarray(y),
+                jnp.asarray(size), jnp.asarray(angle), jnp.asarray(valid),
+                nbits, 1.0, formulation=form))
+            budget = int(2e-5 * want.size) + 1
+            assert (got != want).sum() <= budget, (form, nbits)
+
+
 def test_masked_detect_cells_compiled():
     """Masked detect through the fused cells kernel (mask rides the halo'd
     window DMA), compiled, vs the oracle — bit-exact selection."""
