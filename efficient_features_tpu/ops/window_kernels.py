@@ -540,7 +540,7 @@ def _bad_kernel_noroll(by_ref, bx_ref, meta_ref, nstart_ref,
 
 
 def _bad_kernel_pair(by_ref, bx_ref, meta_ref, nstart_ref,
-                     kp_ref, par_ref, img_hbm, out_ref, win_ref, lhs_ref,
+                     kp_ref, par_ref, img_hbm, out_ref, win_ref,
                      sem, *, nbits, img_w, img_h,
                      win_h=96, win_w=256, half=32, wide_boxes=False):
     """BAD window kernel, keypoint-PAIRED box matmul (formulation="pair").
@@ -587,10 +587,6 @@ def _bad_kernel_pair(by_ref, bx_ref, meta_ref, nstart_ref,
     @pl.when(i == 0)
     def _():
         get_dma(meta_ref[0] & 1, 0).start()
-
-    # zero the off-diagonal blocks once; the pair loop only rewrites the
-    # diagonal blocks
-    lhs_ref[...] = jnp.zeros((2 * ch, 2 * cw), jnp.int8)
 
     def rnd(v):
         return jnp.trunc(v + np.float32(0.5)).astype(jnp.int32)
@@ -649,8 +645,12 @@ def _bad_kernel_pair(by_ref, bx_ref, meta_ref, nstart_ref,
         w0, iy1_0, iy2_0, ix1_0, ix2_0, area_0, tbr_0, kxys_0 = half_geom(k0)
         w1, iy1_1, iy2_1, ix1_1, ix2_1, area_1, tbr_1, kxys_1 = \
             half_geom(k0 + 1)
-        lhs_ref[0:ch, 0:cw] = w0                        # static offsets
-        lhs_ref[ch:2 * ch, cw:2 * cw] = w1
+        # block-diagonal LHS built as a register value via concatenation —
+        # the Mosaic-proven _warp_kernel pattern (bf16 there, int8 here)
+        z8 = jnp.zeros((ch, cw), jnp.int8)
+        lhs = jnp.concatenate(
+            [jnp.concatenate([w0, z8], axis=1),
+             jnp.concatenate([z8, w1], axis=1)], axis=0)  # (2*ch, 2*cw)
 
         # joint indicators with per-half bounds (the (1, 2*nbits) bound rows
         # broadcast against the joint masks); same unsigned-range compare as
@@ -661,7 +661,7 @@ def _bad_kernel_pair(by_ref, bx_ref, meta_ref, nstart_ref,
         rr = ((rloc - jnp.where(rhi, iy1_1, iy1_0)).astype(jnp.uint32)
               < jnp.where(rhi, iy2_1 - iy1_1,
                           iy2_0 - iy1_0).astype(jnp.uint32))
-        z = jnp.dot(lhs_ref[...], cc.astype(jnp.int8),
+        z = jnp.dot(lhs, cc.astype(jnp.int8),
                     preferred_element_type=jnp.int32)   # (2*ch, 2*nbits)
         prod = rr.astype(jnp.int32) * z
         ssum0 = prod[0:ch].sum(axis=0, keepdims=True) + 128 * area_0
@@ -821,7 +821,6 @@ def _bad_descriptors_windows_impl(image, x, y, size, angle, valid,
                                    win_h=geom.win_h, win_w=geom.win_w,
                                    half=geom.half, wide_boxes=wide)
         kp_cols = 8
-        scratch.append(pltpu.VMEM((4 * geom.half, 4 * geom.half), jnp.int8))
     else:
         kernel = functools.partial(_bad_kernel, nbits=nbits,
                                    scale_factor=scale_factor,
