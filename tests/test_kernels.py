@@ -63,9 +63,12 @@ def test_bad_window_kernel_exact(img, formulation):
         assert (a != b).sum() <= budget
 
 
-def test_bad_window_kernel_pixel_extremes():
+@pytest.mark.parametrize("formulation", ["noroll", "roll", "pair"])
+def test_bad_window_kernel_pixel_extremes(formulation):
     """int8 MXU path: pixels re-biased to [-128, 127] must stay exact at the
-    saturated ends (0 -> -128, 255 -> 127) and across hard 0/255 edges."""
+    saturated ends (0 -> -128, 255 -> 127) and across hard 0/255 edges —
+    with angle=-1 (no trig) every formulation must match the oracle
+    BIT-FOR-BIT, not just within budget."""
     img = np.zeros((160, 256), np.uint8)
     img[:, 128:] = 255
     img[40:80, 40:80] = 255
@@ -82,7 +85,7 @@ def test_bad_window_kernel_pixel_extremes():
         b = np.asarray(WK.bad_descriptors_windows(
             jnp.asarray(img), jnp.asarray(x), jnp.asarray(y),
             jnp.asarray(size), jnp.asarray(angle), jnp.asarray(valid),
-            nbits, 1.0))
+            nbits, 1.0, formulation=formulation))
         np.testing.assert_array_equal(a, b)
 
 
