@@ -231,7 +231,7 @@ _BAD_KPB = 32
 _BAD_FORMULATION = os.environ.get("EFF_TPU_BAD_FORMULATION", "roll")
 
 
-def _bad_bits_row(win8, rows_t, cols_t, pack, par6, scal, oy_l, ox_l, *,
+def _bad_bits_row(win8, rows_t, cols_t, pack, par4, scal, oy_l, ox_l, *,
                   wide_boxes, img_w, img_h):
     """Shared per-keypoint BAD bit pipeline (both kernel formulations).
 
@@ -242,18 +242,24 @@ def _bad_bits_row(win8, rows_t, cols_t, pack, par6, scal, oy_l, ox_l, *,
     cuda_bad.cu:149-157), indicator box sums on the int8 MXU, the threshold
     compare with the exact division-free border branch (+ 12-bit-truncated
     exact products for wide boxes), the border select, and the MSB-first
-    byte pack.  Returns the (1, nbits//8) f32 byte row."""
-    bx1, bx2, by1, by2, br, thv = par6
+    byte pack.  Returns the (1, nbits//8) f32 byte row.
+
+    `par4` rows are LANE-CONCATENATED (1, 2*nbits) box-pair params
+    (bxc = x1|x2, byc = y1|y2, brc = r|r, thv) built host-side: both box
+    corners of every pair ride ONE transform + ONE box-sum matmul per
+    keypoint — half the per-keypoint op issues, and no in-kernel
+    concatenate (Mosaic rejects lane concats whose inputs carry different
+    sublane offsets, as par-row slices do)."""
+    bxc, byc, brc, thv = par4
     kx, ky, s, cost, sint, m02, m12 = scal
 
     def rnd(v):
         return jnp.trunc(v + np.float32(0.5)).astype(jnp.int32)
 
-    tx1 = rnd(cost * bx1 - sint * by1 + m02) - ox_l
-    ty1 = rnd(sint * bx1 + cost * by1 + m12) - oy_l
-    tx2 = rnd(cost * bx2 - sint * by2 + m02) - ox_l
-    ty2 = rnd(sint * bx2 + cost * by2 + m12) - oy_l
-    tbr = rnd(s * br)
+    cxb = rnd(cost * bxc - sint * byc + m02) - ox_l     # (1, 2*nbits)
+    cyb = rnd(sint * bxc + cost * byc + m12) - oy_l
+    tbr2 = rnd(s * brc)
+    tbr = jax.lax.slice(tbr2, (0, 0), (1, brc.shape[1] // 2))
 
     # clamped integral corners; for interior keypoints the clamps never
     # bind (1.75 margin), so these sums serve both paths exactly
@@ -261,17 +267,6 @@ def _bad_bits_row(win8, rows_t, cols_t, pack, par6, scal, oy_l, ox_l, *,
     hi_y = jnp.int32(img_h) - oy_l
     lo_x = -ox_l
     hi_x = jnp.int32(img_w) - ox_l
-
-    # BOTH boxes of every pair ride ONE box-sum matmul: their centers
-    # concatenate along the bit (lane) axis — slices land at lane offset
-    # nbits, a multiple of 128 — so each keypoint issues one
-    # (rows, cols)@(cols, 2*nbits) MXU pass and one rr mult-reduce instead
-    # of two of each.  Same exact products, half the op issues; the
-    # stage profile pinned the BAD floor on per-keypoint fixed work (MXU
-    # issue among it), not MACs (BENCH_DETAIL stage_profile, round 3.5).
-    cyb = jnp.concatenate([ty1, ty2], axis=1)           # (1, 2*nbits)
-    cxb = jnp.concatenate([tx1, tx2], axis=1)
-    tbr2 = jnp.concatenate([tbr, tbr], axis=1)
 
     iy1 = jnp.clip(cyb - tbr2, lo_y, hi_y - 1)
     iy2 = jnp.clip(cyb + tbr2 + 1, lo_y + 1, hi_y)
@@ -367,13 +362,11 @@ def _bad_kernel(by_ref, bx_ref, meta_ref, nstart_ref,
     # prefetch (by, bx, meta = slot|start<<1, nstart); keypoint params come
     # in as a per-program VMEM block.
     i = pl.program_id(0)
-    par = par_ref[...]                    # (8, nbits): x1 x2 y1 y2 r th rows
-    bx1 = par[0:1, :]
-    bx2 = par[1:2, :]
-    by1 = par[2:3, :]
-    by2 = par[3:4, :]
-    br = par[4:5, :]
-    thv = par[5:6, :]
+    par = par_ref[...]                    # (8, 2*nbits): x1|x2 y1|y2 r|r th
+    bxc = par[0:1, :]
+    byc = par[1:2, :]
+    brc = par[2:3, :]
+    thv = jax.lax.slice(par, (3, 0), (4, nbits))
 
     cw = 2 * half                         # compacted window: keypoint rotated
     ch = 2 * half                         # to its center; every box corner,
@@ -435,7 +428,7 @@ def _bad_kernel(by_ref, bx_ref, meta_ref, nstart_ref,
                 - 128).astype(jnp.int8)
 
         bytes_row = _bad_bits_row(
-            win8, rows_t, cols_t, pack, (bx1, bx2, by1, by2, br, thv),
+            win8, rows_t, cols_t, pack, (bxc, byc, brc, thv),
             (kx, ky, s, cost, sint, m02, m12),
             oy + shift_y, ox + shift_x,
             wide_boxes=wide_boxes, img_w=img_w, img_h=img_h)
@@ -470,13 +463,11 @@ def _bad_kernel_noroll(by_ref, bx_ref, meta_ref, nstart_ref,
     the in-kernel scalar core to XLA — the same backend-ULP class the parity
     budget already covers (module docstring)."""
     i = pl.program_id(0)
-    par = par_ref[...]                    # (8, nbits): x1 x2 y1 y2 r th rows
-    bx1 = par[0:1, :]
-    bx2 = par[1:2, :]
-    by1 = par[2:3, :]
-    by2 = par[3:4, :]
-    br = par[4:5, :]
-    thv = par[5:6, :]
+    par = par_ref[...]                    # (8, 2*nbits): x1|x2 y1|y2 r|r th
+    bxc = par[0:1, :]
+    byc = par[1:2, :]
+    brc = par[2:3, :]
+    thv = jax.lax.slice(par, (3, 0), (4, nbits))
 
     cw = 2 * half
     rows_t = jax.lax.broadcasted_iota(jnp.int32, (win_h, 2 * nbits), 0)
@@ -530,7 +521,7 @@ def _bad_kernel_noroll(by_ref, bx_ref, meta_ref, nstart_ref,
         win_c8 = win_c.astype(jnp.int8)               # biased pixels, exact
 
         bytes_row = _bad_bits_row(
-            win_c8, rows_t, cols_t, pack, (bx1, bx2, by1, by2, br, thv),
+            win_c8, rows_t, cols_t, pack, (bxc, byc, brc, thv),
             (kx, ky, s, cost, sint, m02, m12), oy, ox + off,
             wide_boxes=wide_boxes, img_w=img_w, img_h=img_h)
         out_ref[pl.ds(k, 1), :] = bytes_row
@@ -558,13 +549,11 @@ def _bad_kernel_pair(by_ref, bx_ref, meta_ref, nstart_ref,
     exact int8 x {0,1} integer products of the unpaired kernels: the
     zero off-diagonal blocks contribute exact int32 zeros."""
     i = pl.program_id(0)
-    par = par_ref[...]                    # (8, nbits): x1 x2 y1 y2 r th rows
-    bx1 = par[0:1, :]
-    bx2 = par[1:2, :]
-    by1 = par[2:3, :]
-    by2 = par[3:4, :]
-    br = par[4:5, :]
-    thv = par[5:6, :]
+    par = par_ref[...]                    # (8, 2*nbits): x1|x2 y1|y2 r|r th
+    bxc = par[0:1, :]
+    byc = par[1:2, :]
+    brc = par[2:3, :]
+    thv = jax.lax.slice(par, (3, 0), (4, nbits))
 
     cw = 2 * half
     ch = 2 * half
@@ -621,18 +610,14 @@ def _bad_kernel_pair(by_ref, bx_ref, meta_ref, nstart_ref,
 
         ox_l = ox + shift_x
         oy_l = oy + shift_y
-        tx1 = rnd(cost * bx1 - sint * by1 + m02) - ox_l
-        ty1 = rnd(sint * bx1 + cost * by1 + m12) - oy_l
-        tx2 = rnd(cost * bx2 - sint * by2 + m02) - ox_l
-        ty2 = rnd(sint * bx2 + cost * by2 + m12) - oy_l
-        tbr = rnd(s * br)
+        cxb = rnd(cost * bxc - sint * byc + m02) - ox_l  # (1, 2*nbits)
+        cyb = rnd(sint * bxc + cost * byc + m12) - oy_l
+        tbr2 = rnd(s * brc)
+        tbr = jax.lax.slice(tbr2, (0, 0), (1, nbits))
         lo_y = -oy_l
         hi_y = jnp.int32(img_h) - oy_l
         lo_x = -ox_l
         hi_x = jnp.int32(img_w) - ox_l
-        cyb = jnp.concatenate([ty1, ty2], axis=1)       # (1, 2*nbits)
-        cxb = jnp.concatenate([tx1, tx2], axis=1)
-        tbr2 = jnp.concatenate([tbr, tbr], axis=1)
         iy1 = jnp.clip(cyb - tbr2, lo_y, hi_y - 1)
         iy2 = jnp.clip(cyb + tbr2 + 1, lo_y + 1, hi_y)
         ix1 = jnp.clip(cxb - tbr2, lo_x, hi_x - 1)
@@ -795,13 +780,16 @@ def _bad_descriptors_windows_impl(image, x, y, size, angle, valid,
         kp = jnp.stack([kx, ky, ks, ka], axis=1)
 
     boxes, th = load_bad_params(nbits)
-    par = np.zeros((8, nbits), np.float32)
-    par[0] = boxes[:, 0]
-    par[1] = boxes[:, 1]
-    par[2] = boxes[:, 2]
-    par[3] = boxes[:, 3]
-    par[4] = boxes[:, 4]
-    par[5] = th
+    # lane-concatenated box-pair rows (see _bad_bits_row): both corners of
+    # every pair ride one in-kernel transform/matmul, no in-kernel concat
+    par = np.zeros((8, 2 * nbits), np.float32)
+    par[0, :nbits] = boxes[:, 0]
+    par[0, nbits:] = boxes[:, 1]
+    par[1, :nbits] = boxes[:, 2]
+    par[1, nbits:] = boxes[:, 3]
+    par[2, :nbits] = boxes[:, 4]
+    par[2, nbits:] = boxes[:, 4]
+    par[3, :nbits] = th
 
     # wide_boxes: the int32 cross products of the border compare can exceed
     # 2^31 once side^4 > 2^22 (cf. ops.bad) — only reachable at s >~ 3.2
@@ -837,7 +825,7 @@ def _bad_descriptors_windows_impl(image, x, y, size, angle, valid,
             in_specs=[
                 pl.BlockSpec((_BAD_KPB, kp_cols), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, nbits), lambda i, *_: (0, 0),
+                pl.BlockSpec((8, 2 * nbits), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
