@@ -221,14 +221,15 @@ def _affine_from_block(kp_ref, k):
 
 _BAD_KPB = 32
 
-# Default BAD kernel formulation: "roll" (round-2/3, per-keypoint window
-# rotation, Mosaic-proven on chip) until the on-chip A/B
-# (tools/ab_bad_formulation.py, BENCH_DETAIL bad_formulation) validates a
-# challenger ("noroll" round 4, "pair" round 5) compiled; flip here when
-# the A/B decides.  EFF_TPU_BAD_FORMULATION overrides (read at import, so
-# full pipelines — detect_and_compute included — can be A/B'd per process
-# without code edits).
-_BAD_FORMULATION = os.environ.get("EFF_TPU_BAD_FORMULATION", "roll")
+# Default BAD kernel formulation: "pair" — the on-chip A/B
+# (tools/ab_bad_formulation.py, BENCH_DETAIL bad_formulation) measured
+# roll/noroll/pair = 25.7/22.7/19.3 ms at 40k/256b (28.5/26.8/23.9 at
+# 512b), all three bit-identical on chip incl. wide buckets.  Two
+# keypoints per full-tile box matmul beats per-keypoint quarter tiles.
+# EFF_TPU_BAD_FORMULATION overrides (read at import, so full pipelines —
+# detect_and_compute included — can be A/B'd per process without code
+# edits).
+_BAD_FORMULATION = os.environ.get("EFF_TPU_BAD_FORMULATION", "pair")
 
 
 def _bad_bits_row(win8, rows_t, cols_t, pack, par4, scal, oy_l, ox_l, *,
