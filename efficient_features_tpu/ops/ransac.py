@@ -81,7 +81,11 @@ def _dlt(src, dst, w):
         jnp.stack([1.0 / sd, z0, cdx], axis=-1),
         jnp.stack([z0, 1.0 / sd, cdy], axis=-1),
         jnp.stack([z0, z0, one0], axis=-1)], axis=-2)
-    H = Td_inv @ Hn @ Ts
+    # explicit f32 precision: jnp.matmul's TPU default is bf16 on the MXU,
+    # which costs ~4e-3 relative in H entries — pixel-scale error after
+    # denormalization (compiled-tier failure, round 6)
+    H = jnp.einsum("...ij,...jk,...kl->...il", Td_inv, Hn, Ts,
+                   precision=jax.lax.Precision.HIGHEST)
     return H / jnp.where(jnp.abs(H[..., 2:3, 2:3]) < 1e-12, 1.0,
                          H[..., 2:3, 2:3])
 
