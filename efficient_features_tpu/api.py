@@ -117,8 +117,22 @@ class KeyPoints:
                                              h["angle"], h["response"],
                                              h["octave"])]
 
+    def __bool__(self):
+        # truthiness must NOT silently sync the device (len() would);
+        # a KeyPoints object is always "some result" — test emptiness
+        # explicitly with .count
+        return True
+
     def __len__(self):
-        return self.count
+        """REMOVED as a silent-sync footgun: `len(kps)` (and anything that
+        calls it implicitly) would read a device scalar and stall the whole
+        async chain (~30 ms host round trip under a tunneled chip).  Use
+        `.count` when you accept the sync, or `.capacity` for the static
+        slot count."""
+        raise TypeError(
+            "len(KeyPoints) is disabled: it would silently sync the device. "
+            "Use .count (syncs; number of valid keypoints) or .capacity "
+            "(static slot count).")
 
 
 def _as_u8_image(image) -> jax.Array:
@@ -331,16 +345,14 @@ class EfficientFeatures:
                  nlevels: int = 8, first_level: int = 0,
                  fast_threshold: int = 20, nonmax_radius: int = 15,
                  descriptor_type: str = "hash_sift_256"):
+        # every parameter is validated eagerly by FeatureConfig.__post_init__
+        # (descriptor_type like the reference's createDescriber call in the
+        # impl constructor, cuda_efficient_features.cpp:48-69; the numeric
+        # params with clear ValueErrors the reference lacks)
         self._cfg = P.FeatureConfig(
             nfeatures=nfeatures, scale_factor=scale_factor, nlevels=nlevels,
             first_level=first_level, fast_threshold=fast_threshold,
             nonmax_radius=nonmax_radius, descriptor_type=descriptor_type)
-        # validate descriptor_type eagerly, like the reference's
-        # createDescriber call in the impl constructor
-        # (cuda_efficient_features.cpp:48-69)
-        if descriptor_type not in P.DESCRIPTOR_TYPES:
-            raise ValueError(
-                f"descriptor_type must be one of {P.DESCRIPTOR_TYPES}")
 
     create = staticmethod(lambda *a, **kw: EfficientFeatures(*a, **kw))
 
@@ -359,6 +371,7 @@ class EfficientFeatures:
         For images too small for the band halos a ValueError is raised.
         No reference analogue (the CUDA library is single-GPU)."""
         img = _as_u8_image(image)
+        P.validate_image_shape(self._cfg, *img.shape)
         ranges = P.level_slot_ranges(self._cfg, *img.shape)
         if mesh is not None:
             from .parallel import sharding as SH
@@ -395,6 +408,7 @@ class EfficientFeatures:
 
     def detect_and_compute_async(self, image, mask=None, mesh=None):
         img = _as_u8_image(image)
+        P.validate_image_shape(self._cfg, *img.shape)
         if mesh is not None:
             from .parallel import sharding as SH
             if mask is not None:

@@ -83,7 +83,7 @@ def detect_and_compute_batch(images: jax.Array, cfg: P.FeatureConfig,
 def compute_sharded(image: jax.Array, keypoints_xysa: jax.Array,
                     valid: jax.Array, mesh: Mesh, *, nbits: int = 256,
                     kind: str = "bad", scale: float = 1.0,
-                    windows_ok: bool = False):
+                    windows_ok: bool = False, ranges=None):
     """Descriptor-only compute with the KEYPOINT axis sharded over the mesh
     (descriptor extraction is embarrassingly parallel per keypoint — the
     serving-throughput axis for 100k+ keypoint workloads).  The image is
@@ -92,16 +92,82 @@ def compute_sharded(image: jax.Array, keypoints_xysa: jax.Array,
 
     keypoints_xysa: (N, 4) [x, y, size, angle]; N is padded up to a mesh
     multiple internally.  `windows_ok` as in pipeline.compute_jit (static;
-    use only when every keypoint fits the base window geometry)."""
+    use only when every keypoint fits the base window geometry).
+
+    ranges: optional static octave-bucket layout ((start, stop,
+    smax_or_None), ...) tiling [0, N) in order — the
+    pipeline.compute_bucketed_jit contract (detector slot layout mapped
+    through the API's bucket scales, or host size-sorted buckets).  With
+    ranges, multi-octave detector keypoints run the octave-bucketed WINDOW
+    kernels on every shard instead of silently falling to the gather path:
+    each bucket is dealt round-robin across devices host-side (a static
+    permutation), so every device sees the same static per-bucket layout,
+    and rows are gathered back to input order afterwards — byte-identical
+    to single-chip compute_bucketed_jit."""
     n_dev = mesh.devices.size
-    axis = mesh.axis_names[0]
     n = keypoints_xysa.shape[0]
+    if ranges is not None:
+        return _compute_sharded_bucketed(image, keypoints_xysa, valid, mesh,
+                                         nbits, kind, scale, tuple(ranges))
     n_pad = -(-n // n_dev) * n_dev
     kp = jnp.pad(keypoints_xysa.astype(jnp.float32),
                  ((0, n_pad - n), (0, 0)))
     v = jnp.pad(valid.astype(bool), (0, n_pad - n))
     fn = _compute_sharded_jit(mesh, nbits, kind, scale, windows_ok)
     return fn(image, kp, v)[:n]
+
+
+def _compute_sharded_bucketed(image, keypoints_xysa, valid, mesh: Mesh,
+                              nbits: int, kind: str, scale: float, ranges):
+    n_dev = mesh.devices.size
+    n = keypoints_xysa.shape[0]
+    ranges = tuple((int(a), int(b), None if s is None else float(s))
+                   for (a, b, s) in ranges)
+    if not ranges or ranges[0][0] != 0 or ranges[-1][1] != n or any(
+            ranges[i][1] != ranges[i + 1][0] for i in range(len(ranges) - 1)):
+        raise ValueError(f"ranges must tile [0, {n}) in order, got {ranges}")
+    # deal each bucket round-robin across devices: device d's contiguous
+    # shard holds rows [a + d*l_r, a + (d+1)*l_r) of every bucket r (padded
+    # with sentinel n = an always-invalid zero keypoint), so the per-shard
+    # bucket layout is STATIC and identical on all devices
+    lens = [-(-(b - a) // n_dev) for (a, b, _) in ranges]
+    total = sum(lens)
+    perm = np.full((n_dev, total), n, np.int64)
+    local_ranges = []
+    off = 0
+    for (a, b, smax), lr in zip(ranges, lens):
+        idx = np.concatenate([np.arange(a, b),
+                              np.full(n_dev * lr - (b - a), n, np.int64)])
+        perm[:, off:off + lr] = idx.reshape(n_dev, lr)
+        local_ranges.append((off, off + lr, smax))
+        off += lr
+    perm = perm.reshape(-1)
+    kp1 = jnp.concatenate([keypoints_xysa.astype(jnp.float32),
+                           jnp.zeros((1, 4), jnp.float32)])
+    v1 = jnp.concatenate([valid.astype(bool), jnp.zeros((1,), bool)])
+    fn = _compute_sharded_bucketed_jit(mesh, nbits, kind, scale,
+                                       tuple(local_ranges))
+    out_perm = fn(image, kp1[perm], v1[perm])
+    # invert the (bijective on real rows) permutation back to input order
+    real = perm < n
+    inv = np.empty(n, np.int64)
+    inv[perm[real]] = np.flatnonzero(real)
+    return jnp.take(out_perm, jnp.asarray(inv), axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _compute_sharded_bucketed_jit(mesh: Mesh, nbits: int, kind: str,
+                                  scale: float, local_ranges):
+    axis = mesh.axis_names[0]
+
+    def shard_fn(image, kp_blk, v_blk):
+        return P.compute_bucketed_jit(image, kp_blk, v_blk, nbits, kind,
+                                      scale, local_ranges)
+
+    fn = jax.shard_map(shard_fn, mesh=mesh,
+                       in_specs=(P_(None, None), P_(axis, None), P_(axis)),
+                       out_specs=P_(axis, None), check_vma=False)
+    return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=None)

@@ -56,6 +56,35 @@ class FeatureConfig:
     # kernel only exists compiled; see ops.image.resize_u8_fast)
     pallas_resize: bool | None = None
 
+    def __post_init__(self):
+        """Eager parameter validation (the reference's factory contract,
+        cuda_efficient_features.h:47-48: scaleFactor=1.2, nLevels=8, ... —
+        the CUDA library silently mis-executes on degenerate values; we
+        reject them with clear errors instead of e.g. a ZeroDivisionError
+        from the quota math at first use)."""
+        if self.nfeatures < 1:
+            raise ValueError(f"nfeatures must be >= 1, got {self.nfeatures}")
+        if self.nlevels < 1:
+            raise ValueError(f"nlevels must be >= 1, got {self.nlevels}")
+        if not self.scale_factor > 1.0:
+            raise ValueError(
+                "scale_factor must be > 1.0 (the pyramid level-quota split, "
+                f"features_per_level, needs a geometric ratio), got "
+                f"{self.scale_factor}")
+        if not 0 <= self.first_level < self.nlevels:
+            raise ValueError(
+                f"first_level must be in [0, nlevels), got {self.first_level}")
+        if self.fast_threshold < 1:
+            raise ValueError(
+                f"fast_threshold must be >= 1, got {self.fast_threshold}")
+        if self.nonmax_radius < 1:
+            raise ValueError(
+                f"nonmax_radius must be >= 1, got {self.nonmax_radius}")
+        if self.descriptor_type not in DESCRIPTOR_TYPES:
+            raise ValueError(
+                f"descriptor_type must be one of {DESCRIPTOR_TYPES}, got "
+                f"{self.descriptor_type!r}")
+
     @property
     def descriptor_bits(self) -> int:
         return int(self.descriptor_type.rsplit("_", 1)[1])
@@ -170,8 +199,28 @@ def _mask_pyramid(mask, shapes):
     return levels
 
 
+def validate_image_shape(cfg: FeatureConfig, h: int, w: int):
+    """Reject images too small for the requested pyramid: every level must
+    keep at least MIN_LEVEL_DIM rows and columns (below that the resize /
+    detection kernels see degenerate shapes — the top level of an
+    aggressively deep pyramid can round to 0 rows).  Raised eagerly at the
+    API layer and again at trace time for direct pipeline users."""
+    shapes = S.pyramid_shapes(h, w, cfg.scale_factor, cfg.nlevels)
+    th, tw = shapes[-1]
+    if th < MIN_LEVEL_DIM or tw < MIN_LEVEL_DIM:
+        raise ValueError(
+            f"image {h}x{w} is too small for nlevels={cfg.nlevels} at "
+            f"scale_factor={cfg.scale_factor}: top pyramid level would be "
+            f"{th}x{tw} (every level needs >= {MIN_LEVEL_DIM} px per side); "
+            "reduce nlevels or scale_factor")
+
+
+MIN_LEVEL_DIM = 8
+
+
 def detect_core(image: jax.Array, cfg: FeatureConfig, mask=None):
     """Returns per-slot SoA dict over sum(quotas[first_level:]) slots."""
+    validate_image_shape(cfg, int(image.shape[0]), int(image.shape[1]))
     levels = ops_image.build_pyramid(image, cfg.scale_factor, cfg.nlevels,
                                      cfg.pallas_resize)
     scales = S.pyramid_scales(cfg.scale_factor, cfg.nlevels)

@@ -69,7 +69,7 @@ def main():
     ms = (time.perf_counter() - t0) * 1e3 / args.num_iterations
 
     kps = feat.detect(img)
-    print(f"{len(kps)} keypoints found.")
+    print(f"{kps.count} keypoints found.")
     print(f"processing time: {ms:.1f}[milli sec]")
 
 

@@ -44,7 +44,7 @@ def main():
     kps2.block()
     t_async = time.perf_counter() - t0
 
-    print(f"image {img.shape[1]}x{img.shape[0]}: {len(kps)} keypoints, "
+    print(f"image {img.shape[1]}x{img.shape[0]}: {kps.count} keypoints, "
           f"descriptors {desc.shape}")
     print(f"sync {t_sync*1e3:.1f} ms | async dispatch {t_dispatch*1e3:.1f} ms,"
           f" total {t_async*1e3:.1f} ms")

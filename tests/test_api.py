@@ -20,7 +20,7 @@ def test_detect_matches_oracle(img):
     feat = EfficientFeatures(nfeatures=800)
     kps = feat.detect(img)
     oracle = R.detect(img, nfeatures=800)
-    assert len(kps) == oracle.count
+    assert kps.count == oracle.count
     h = kps.as_arrays()
     np.testing.assert_array_equal(h["x"], oracle.x)
     np.testing.assert_array_equal(h["y"], oracle.y)
@@ -31,7 +31,7 @@ def test_detect_and_compute_all_descriptor_types(img):
                        ("hash_sift_256", 32), ("hash_sift_512", 64)]:
         feat = EfficientFeatures(nfeatures=300, descriptor_type=dt)
         kps, desc = feat.detect_and_compute(img)
-        assert desc.shape == (len(kps), nbytes)
+        assert desc.shape == (kps.count, nbytes)
         assert desc.dtype == np.uint8
         assert feat.descriptor_size() == nbytes
 
@@ -81,7 +81,7 @@ def test_param_setters():
 def test_first_level_skips_level0(img):
     f0 = EfficientFeatures(nfeatures=400, first_level=1)
     kps = f0.detect(img)
-    assert len(kps) > 0
+    assert kps.count > 0
     assert (kps.as_arrays()["octave"] >= 1).all()
 
 
@@ -91,7 +91,7 @@ def test_nonstandard_params_pipeline(img):
     kps = feat.detect(img)
     oracle = R.detect(img, nfeatures=200, scale_factor=1.5, nlevels=4,
                       fast_threshold=35, nonmax_radius=7)
-    assert len(kps) == oracle.count
+    assert kps.count == oracle.count
     np.testing.assert_array_equal(kps.as_arrays()["x"], oracle.x)
 
 
@@ -105,6 +105,58 @@ def test_invalid_inputs(img):
         BAD(1.0, 128)
 
 
+def test_config_validation():
+    """Degenerate factory parameters raise clear ValueErrors eagerly (the
+    reference's contract is cuda_efficient_features.h:47-48; its impl would
+    silently mis-execute — ours used to reach a raw ZeroDivisionError from
+    the quota math at first use)."""
+    for kw in (dict(scale_factor=1.0), dict(scale_factor=0.5),
+               dict(nlevels=0), dict(nlevels=-2), dict(nfeatures=0),
+               dict(fast_threshold=0), dict(nonmax_radius=0),
+               dict(first_level=8), dict(first_level=-1),
+               dict(descriptor_type="orb")):
+        with pytest.raises(ValueError):
+            EfficientFeatures(**kw)
+    # the setters re-validate (replace() re-runs __post_init__)
+    feat = EfficientFeatures()
+    with pytest.raises(ValueError):
+        feat.set_scale_factor(1.0)
+    with pytest.raises(ValueError):
+        feat.set_n_levels(0)
+    with pytest.raises(ValueError):
+        feat.set_max_features(0)
+    with pytest.raises(ValueError):
+        feat.set_descriptor_type("sift")
+    # a failed set leaves the config untouched and usable
+    assert feat.get_scale_factor() == 1.2
+
+
+def test_image_too_small_for_pyramid():
+    """Images whose pyramid would degenerate (top level < 8 px a side) are
+    rejected with a clear error naming the fix, in detect and dAC."""
+    feat = EfficientFeatures(nfeatures=100, nlevels=8)  # 16/1.2^7 -> 4 px
+    tiny = make_test_image(16, 16, seed=1)
+    with pytest.raises(ValueError, match="too small.*nlevels"):
+        feat.detect(tiny)
+    with pytest.raises(ValueError, match="too small.*nlevels"):
+        feat.detect_and_compute(tiny)
+    # the same image is fine with a shallower pyramid
+    feat2 = EfficientFeatures(nfeatures=100, nlevels=2)
+    assert feat2.detect(tiny).count >= 0
+
+
+def test_len_is_disabled_sync_trap(img):
+    """len(KeyPoints) is a silent device sync; it raises with guidance.
+    Truthiness stays usable without syncing."""
+    feat = EfficientFeatures(nfeatures=100)
+    kps = feat.detect(img)
+    with pytest.raises(TypeError, match="count"):
+        len(kps)
+    assert bool(kps) is True          # __bool__ must not fall back to __len__
+    assert kps.count > 0              # the documented (syncing) escape hatch
+    assert kps.capacity >= kps.count  # the static one
+
+
 def test_mask_restricts_detection(img):
     """User ROI masks are honored (the CUDA reference accepts but silently
     ignores its mask argument; we implement the documented behavior) and
@@ -114,12 +166,12 @@ def test_mask_restricts_detection(img):
     mask[:, : img.shape[1] // 2] = 255          # left half only
     kps = feat.detect(img, mask=mask)
     h = kps.as_arrays()
-    assert len(kps) > 0
+    assert kps.count > 0
     # all keypoints originate from masked-in level-0 area (scaled coords can
     # drift by a pixel at higher octaves; check level-0 half-plane loosely)
     assert (h["x"] <= img.shape[1] // 2 + 2).all()
     oracle = R.detect(img, nfeatures=400, mask=mask)
-    assert len(kps) == oracle.count
+    assert kps.count == oracle.count
     np.testing.assert_array_equal(h["x"], oracle.x)
     np.testing.assert_array_equal(h["y"], oracle.y)
     # full mask == no mask
@@ -136,7 +188,7 @@ def test_tiny_image():
     feat = EfficientFeatures(nfeatures=100)
     kps, desc = feat.detect_and_compute(tiny)
     oracle = R.detect(tiny, nfeatures=100)
-    assert len(kps) == oracle.count
+    assert kps.count == oracle.count
 
 
 def test_device_resident_compute_chain(img):

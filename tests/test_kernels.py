@@ -207,12 +207,17 @@ def test_ic_window_kernel_exact(img):
 
 def test_bad_window_kernel_100k_chunked():
     """The reference's own tests run 100k keypoints (descriptor_test.cpp:28);
-    the chunked wrapper must handle that scale (SMEM limits per chunk)."""
-    img = make_test_image(256, 384, seed=55)
+    the chunked wrapper must handle that scale (SMEM limits per chunk) — on a
+    REAL image (tests/data), full 100k, in the CPU tier."""
+    import os
+    from PIL import Image
+    img = np.asarray(Image.open(os.path.join(
+        os.path.dirname(__file__), "data", "real_montage.png")))
+    h, w = img.shape
     rng = np.random.default_rng(6)
-    n = 40000  # > 2 chunks; full 100k is covered on real TPU runs
-    x = rng.uniform(0, 383, n).astype(np.float32)
-    y = rng.uniform(0, 255, n).astype(np.float32)
+    n = 100_000
+    x = rng.uniform(0, w - 1, n).astype(np.float32)
+    y = rng.uniform(0, h - 1, n).astype(np.float32)
     size = np.full(n, 31.0, np.float32)
     angle = rng.uniform(0, 360, n).astype(np.float32)
     valid = np.ones(n, bool)
@@ -220,12 +225,12 @@ def test_bad_window_kernel_100k_chunked():
         jnp.asarray(img), jnp.asarray(x), jnp.asarray(y), jnp.asarray(size),
         jnp.asarray(angle), jnp.asarray(valid), 256, 1.0))
     assert d.shape == (n, 32)
-    # verify a slice spanning a chunk boundary against the oracle
-    sub = slice(16384 - 50, 16384 + 50)
-    a = DC.bad_descriptors(img, x[sub], y[sub], size[sub], angle[sub],
-                           nbits=256)
-    budget = int(2e-5 * a.size) + 1
-    assert (a != d[sub]).sum() <= budget
+    # verify slices spanning chunk boundaries against the oracle
+    for sub in (slice(16384 - 50, 16384 + 50), slice(98304 - 50, 98304 + 50)):
+        a = DC.bad_descriptors(img, x[sub], y[sub], size[sub], angle[sub],
+                               nbits=256)
+        budget = int(2e-5 * a.size) + 1
+        assert (a != d[sub]).sum() <= budget
 
 
 def test_fast_harris_nms_cells_selection_exact(img):

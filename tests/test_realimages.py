@@ -24,32 +24,46 @@ from efficient_features_tpu.cpu import descriptors as DC
 
 DATA = os.path.join(os.path.dirname(__file__), "data")
 
+# five committed scenes spanning texture density and saturation extremes
+# (tools/make_fixtures.py; the reference uses 11 SceauxCastle photos,
+# descriptor_test.cpp:16-28) — hitex maximizes keypoint count / distinct DMA
+# windows, lowtex starves the quota, saturated hits exact-0/255 regions
+SCENES = ["real_photo.png", "real_montage.png", "real_hitex.png",
+          "real_lowtex.png", "real_saturated.png"]
+# lowtex needs a lower FAST threshold to yield keypoints at all (that is
+# the fixture's point: weak-texture statistics)
+DETECT_TH = {"real_lowtex.png": 8}
+
 
 def load(name):
     return np.asarray(Image.open(os.path.join(DATA, name)))
 
 
-@pytest.fixture(scope="module", params=["real_photo.png", "real_montage.png"])
+@pytest.fixture(scope="module", params=SCENES)
 def real_img(request):
-    return load(request.param)
+    return request.param, load(request.param)
 
 
 @pytest.fixture(scope="module")
 def detected(real_img):
     # the reference detects up to 100k keypoints (descriptor_test.cpp:28)
+    name, img = real_img
     quota = 100_000
-    feat = EfficientFeatures(nfeatures=quota)
-    kps = feat.detect(real_img)
+    feat = EfficientFeatures(nfeatures=quota,
+                             fast_threshold=DETECT_TH.get(name, 20))
+    kps = feat.detect(img)
     arr = kps.xysa()
-    assert kps.count > 300, "real image should produce plenty of keypoints"
-    return real_img, arr
+    assert kps.count > 50, "real image should produce plenty of keypoints"
+    return img, arr
 
 
 def test_real_detect_bit_exact(real_img):
+    name, img = real_img
     quota = 2000
-    feat = EfficientFeatures(nfeatures=quota)
-    kps = feat.detect(real_img)
-    oracle = R.detect(real_img, nfeatures=quota)
+    th = DETECT_TH.get(name, 20)
+    feat = EfficientFeatures(nfeatures=quota, fast_threshold=th)
+    kps = feat.detect(img)
+    oracle = R.detect(img, nfeatures=quota, fast_threshold=th)
     h = kps.as_arrays()
     assert kps.count == oracle.count
     np.testing.assert_array_equal(h["x"], oracle.x)

@@ -264,6 +264,39 @@ def test_compute_sharded_keypoint_axis():
         np.testing.assert_array_equal(got, want)
 
 
+def test_compute_sharded_bucketed_matches_single_chip():
+    """Keypoint-sharded compute with octave-bucket ranges (the serving path
+    for multi-octave detector output) is byte-identical to single-chip
+    compute_bucketed_jit, rows in caller order — the buckets route through
+    the WINDOW kernels on every shard, not the gather fallback."""
+    from efficient_features_tpu import EfficientFeatures, BAD
+    from efficient_features_tpu.ops import window_kernels as WK
+
+    assert len(jax.devices()) >= 8
+    mesh = SH.make_mesh(8)
+    img = make_test_image(256, 320, seed=152)
+    feat = EfficientFeatures(nfeatures=900, nlevels=4,
+                             descriptor_type="bad_256")
+    kps = feat.detect(img)
+    s = kps._slots
+    kp = jnp.stack([s["x"], s["y"], s["size"], s["angle"]],
+                   axis=1).astype(jnp.float32)
+    # detector slot layout -> bucket ranges, exactly as the API layer does
+    bad = BAD(1.0, 256)
+    br = tuple((a, b, bad._bucket_smax(sz)) for (a, b, sz) in
+               kps.level_ranges)
+    for kind in ("bad", "hash_sift"):
+        got = np.asarray(SH.compute_sharded(
+            jnp.asarray(img), kp, s["valid"], mesh, nbits=256, kind=kind,
+            ranges=br))
+        want = np.asarray(P.compute_bucketed_jit(
+            jnp.asarray(img), kp, s["valid"], 256, kind, 1.0, br))
+        np.testing.assert_array_equal(got, want)
+    with pytest.raises(ValueError):    # ranges must tile [0, N)
+        SH.compute_sharded(jnp.asarray(img), kp, s["valid"], mesh,
+                           nbits=256, kind="bad", ranges=((0, 5, None),))
+
+
 def test_api_batch_as_host_matches_single():
     """detect_and_compute_batch(as_host=True) returns per-image KeyPoints +
     compacted descriptors identical to single-image detect_and_compute, and
@@ -280,7 +313,7 @@ def test_api_batch_as_host_matches_single():
     assert len(out) == 2
     for i, (kps, desc) in enumerate(out):
         k1, d1 = feat.detect_and_compute(images[i])
-        assert len(kps) == len(k1)
+        assert kps.count == k1.count
         a, b = kps.as_arrays(), k1.as_arrays()
         np.testing.assert_array_equal(a["x"], b["x"])
         np.testing.assert_array_equal(a["y"], b["y"])

