@@ -30,9 +30,10 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 # windows, lowtex starves the quota, saturated hits exact-0/255 regions
 SCENES = ["real_photo.png", "real_montage.png", "real_hitex.png",
           "real_lowtex.png", "real_saturated.png"]
-# lowtex needs a lower FAST threshold to yield keypoints at all (that is
-# the fixture's point: weak-texture statistics)
-DETECT_TH = {"real_lowtex.png": 8}
+# lowtex needs a much lower FAST threshold to yield keypoints at all (that
+# is the fixture's point: weak-texture statistics — 686 kps at threshold 2
+# vs ~30 at 8 vs tens of thousands on the textured scenes at 20)
+DETECT_TH = {"real_lowtex.png": 2}
 
 
 def load(name):
