@@ -131,9 +131,30 @@ def _fast_harris_kernel(dims_ref, img_hbm, out_ref, win_ref, sem,
 def _tile_dims(h, w):
     # per-tile fixed cost (window DMA issue + grid step) is significant, so
     # prefer wide tiles: 4K at (128, 1024) runs ~30% faster than (128, 512)
-    # while all live VMEM temporaries stay well under the raised vmem limit
+    # while all live VMEM temporaries stay well under the raised vmem limit.
+    # Round 4: fit the tile to the level dims — a fixed (128, 1024) tile
+    # padded up to 28% of the window area at mid-pyramid levels (e.g. a
+    # 3200-wide level costs 4x(1024+halos) columns; 896-wide tiles cover it
+    # in 4x(896+halos)).  Cost model per axis: tiles x (tile + window
+    # overhang + FIXED), FIXED charging the measured per-tile issue cost
+    # (round 3: (128,512) ran ~30% slower than (128,1024) at equal bytes);
+    # ties prefer the larger tile.  tile_w stays a 128 multiple (DMA start
+    # alignment), tile_h an 8 multiple (sublanes, cell reduction).
+    def fit(n, step, cap, overhang, fixed):
+        best = None
+        for t in range(step, cap + 1, step):
+            cost = -(-n // t) * (t + overhang + fixed)
+            if best is None or cost < best[0] or \
+                    (cost == best[0] and t > best[1]):
+                best = (cost, t)
+        return best[1]
+
     tile_h = min(128, max(8, -(-h // 8) * 8))
+    if h > 128:
+        tile_h = fit(h, 8, 128, 48, 16)
     tile_w = min(1024, max(128, -(-w // 128) * 128))
+    if w > 1024:
+        tile_w = fit(w, 128, 1024, 128, 128)
     return tile_h, tile_w
 
 
@@ -330,8 +351,14 @@ def _fast_harris_nms_kernel(dims_ref, img_hbm, out_ref, win_ref, sem, *,
     gh2 = eh + 6
     gw2 = ew + 6
 
+    # memoized: see _fast_harris_nms_reduced_kernel (slices are full-tile
+    # vector passes; gx/gy share the 4 diagonal taps)
+    shd_cache = {}
+
     def shd(dy, dx):
-        return sh(dy, dx, gh2, gw2, oy - 3, ox - 3)
+        if (dy, dx) not in shd_cache:
+            shd_cache[(dy, dx)] = sh(dy, dx, gh2, gw2, oy - 3, ox - 3)
+        return shd_cache[(dy, dx)]
 
     gx = ((shd(1, 1) + 2 * shd(0, 1) + shd(-1, 1))
           - (shd(1, -1) + 2 * shd(0, -1) + shd(-1, -1)))
@@ -377,18 +404,22 @@ def _fast_harris_nms_kernel(dims_ref, img_hbm, out_ref, win_ref, sem, *,
 
     center_resp = jax.lax.slice(masked, (R, R), (R + tile_h, R + tile_w))
     disc_max = jnp.full((tile_h, tile_w), NEG_INF)
+    # per-distinct-width row-max reuse: see _fast_harris_nms_reduced_kernel
+    rowmax = {}
     for dy, wdx in S.disc_row_extents(radius):
-        width = 2 * wdx + 1
-        k = 1
-        while k * 2 <= width:
-            k *= 2
-        left = pows[k]
-        if k != width:
-            wk = left.shape[1]
-            left = jnp.maximum(
-                jax.lax.slice(left, (0, 0), (eh, wk - (width - k))),
-                jax.lax.slice(left, (0, width - k), (eh, wk)))
-        contrib = jax.lax.slice(left, (R + dy, R - wdx),
+        if wdx not in rowmax:
+            width = 2 * wdx + 1
+            k = 1
+            while k * 2 <= width:
+                k *= 2
+            left = pows[k]
+            if k != width:
+                wk = left.shape[1]
+                left = jnp.maximum(
+                    jax.lax.slice(left, (0, 0), (eh, wk - (width - k))),
+                    jax.lax.slice(left, (0, width - k), (eh, wk)))
+            rowmax[wdx] = left
+        contrib = jax.lax.slice(rowmax[wdx], (R + dy, R - wdx),
                                 (R + dy + tile_h, R - wdx + tile_w))
         disc_max = jnp.maximum(disc_max, contrib)
 
@@ -405,10 +436,13 @@ def fast_harris_nms(image: jax.Array, threshold: int, radius: int) -> jax.Array:
     tile_h, tile_w = _tile_dims(h, w)
     gh = -(-h // tile_h)
     gw = -(-w // tile_w)
-    # halo: NMS reach (radius-1) + harris/FAST support (4), aligned 8 / 128
+    # halo: NMS reach (radius-1) + harris/FAST support (4), aligned 8 rows;
+    # columns aligned 64 so the DMA window width (tile_w + 2*halo_x) stays a
+    # 128 multiple — at the default radius this is 64, not 128, which cuts
+    # the column-halo share of DMA bytes from ~25% to ~12.5% at tile_w=1024
     need = radius - 1 + _FH_HALO
     halo_y = -(-need // 8) * 8
-    halo_x = 128
+    halo_x = -(-need // 64) * 64
     assert halo_x >= need
     padded = jnp.pad(image, ((halo_y, gh * tile_h - h + halo_y),
                              (halo_x, gw * tile_w - w + halo_x)))
@@ -511,8 +545,15 @@ def _fast_harris_nms_reduced_kernel(dims_ref, *refs,
     gh2 = eh + 6
     gw2 = ew + 6
 
+    # memoized: gx/gy share the 4 diagonal taps — every slice of a VMEM
+    # array is a full-tile vector pass, the kernel's bounding resource
+    # (round-4 finding), so duplicate slices are pure waste
+    shd_cache = {}
+
     def shd(dy, dx):
-        return sh(dy, dx, gh2, gw2, oy - 3, ox - 3)
+        if (dy, dx) not in shd_cache:
+            shd_cache[(dy, dx)] = sh(dy, dx, gh2, gw2, oy - 3, ox - 3)
+        return shd_cache[(dy, dx)]
 
     gx = ((shd(1, 1) + 2 * shd(0, 1) + shd(-1, 1))
           - (shd(1, -1) + 2 * shd(0, -1) + shd(-1, -1)))
@@ -560,18 +601,25 @@ def _fast_harris_nms_reduced_kernel(dims_ref, *refs,
 
     center_resp = jax.lax.slice(masked, (R, R), (R + tile_h, R + tile_w))
     disc_max = jnp.full((tile_h, tile_w), NEG_INF)
+    # rows of the disc sharing a half-width reuse ONE horizontal row-max
+    # (identical max tree -> identical f32 values): at radius 15 this cuts
+    # the disc stage from ~4 to ~2.5 full-tile passes per row (29 rows, 8
+    # distinct widths)
+    rowmax = {}
     for dy, wdx in S.disc_row_extents(radius):
-        width = 2 * wdx + 1
-        k = 1
-        while k * 2 <= width:
-            k *= 2
-        left = pows[k]
-        if k != width:
-            wk = left.shape[1]
-            left = jnp.maximum(
-                jax.lax.slice(left, (0, 0), (eh, wk - (width - k))),
-                jax.lax.slice(left, (0, width - k), (eh, wk)))
-        contrib = jax.lax.slice(left, (R + dy, R - wdx),
+        if wdx not in rowmax:
+            width = 2 * wdx + 1
+            k = 1
+            while k * 2 <= width:
+                k *= 2
+            left = pows[k]
+            if k != width:
+                wk = left.shape[1]
+                left = jnp.maximum(
+                    jax.lax.slice(left, (0, 0), (eh, wk - (width - k))),
+                    jax.lax.slice(left, (0, width - k), (eh, wk)))
+            rowmax[wdx] = left
+        contrib = jax.lax.slice(rowmax[wdx], (R + dy, R - wdx),
                                 (R + dy + tile_h, R - wdx + tile_w))
         disc_max = jnp.maximum(disc_max, contrib)
 
@@ -594,9 +642,10 @@ def _fast_harris_nms_reduced_kernel(dims_ref, *refs,
     cnt_ref[...] = alive3.sum(axis=1).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
+@functools.partial(jax.jit, static_argnums=(1, 2, 4))
 def fast_harris_nms_cells(image: jax.Array, threshold: int, radius: int,
-                          mask: jax.Array | None = None):
+                          mask: jax.Array | None = None,
+                          halo_x: int | None = None):
     """Fused dense detect with cell-reduced output: returns
     (cellmax (ceil8(h)/8, wpad) f32, cellrow (same) i32 global row of the
     lowest maximal survivor, cellcnt (same) i32 survivor count), each cell
@@ -606,15 +655,22 @@ def fast_harris_nms_cells(image: jax.Array, threshold: int, radius: int,
 
     `mask` (optional bool (h, w)): user ROI — corners outside it are dropped
     BEFORE the NMS (they neither survive nor suppress), riding the same
-    halo'd window DMA as the image."""
+    halo'd window DMA as the image.
+
+    `halo_x` (static; A/B knob): column-halo width override, must be >= the
+    kernel support and keep tile_w + 2*halo_x a 128 multiple."""
     h, w = image.shape
     tile_h, tile_w = _tile_dims(h, w)
     gh = -(-h // tile_h)
     gw = -(-w // tile_w)
+    # column halo aligned 64 (see fast_harris_nms): DMA width stays a 128
+    # multiple while the halo share of window bytes halves at the default
+    # radius — the cells kernel is ~85% of detect's DMA traffic at 4K/8K
     need = radius - 1 + _FH_HALO
     halo_y = -(-need // 8) * 8
-    halo_x = 128
-    assert halo_x >= need
+    if halo_x is None:
+        halo_x = -(-need // 64) * 64
+    assert halo_x >= need and (2 * halo_x) % 128 == 0
     pads = ((halo_y, gh * tile_h - h + halo_y),
             (halo_x, gw * tile_w - w + halo_x))
     padded = jnp.pad(image, pads)

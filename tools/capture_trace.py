@@ -1,0 +1,84 @@
+"""Capture a jax.profiler (xplane) trace of detect-4K and dAC-4K.
+
+SURVEY.md §5 names jax.profiler/xplane as the TPU analogue of the
+reference's `-lineinfo` + Nsight flow
+(/root/reference/modules/cuda_efficient_features/CMakeLists.txt:31-33);
+this tool is the repeatable capture, and one committed artifact lives in
+traces/ so a reader can open the timeline (tensorboard / xprof /
+perfetto) without a chip.
+
+Usage (real TPU):
+    python tools/capture_trace.py [outdir=traces]
+
+Protocol: compile + warm both pipelines first (first-compile noise would
+dwarf the steady-state executables), then trace ITERS steady-state
+dispatches of each phase under named TraceAnnotations, completion forced
+by a one-element host read (see bench.py's read protocol).
+"""
+import os
+import shutil
+import sys
+
+import numpy as np
+
+ITERS = 4
+
+
+def main():
+    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "traces")
+    import jax
+    import jax.numpy as jnp
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, here)
+    from efficient_features_tpu.utils import compile_cache
+    compile_cache.setup(os.path.join(here, ".xla_cache"),
+                        jax.default_backend())
+    from efficient_features_tpu import pipeline as P
+    from bench import make_bench_image
+
+    def read(outv):
+        leaf = jax.tree_util.tree_leaves(outv)[0]
+        np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
+
+    img4k = jnp.asarray(make_bench_image(2160, 3840))
+    det_cfg = P.FeatureConfig(nfeatures=10000, descriptor_type="bad_256")
+    dac_cfg = P.FeatureConfig(nfeatures=40000, descriptor_type="bad_256")
+    read(P.detect_jit(img4k, det_cfg))          # compile + warm
+    read(P.detect_and_compute_jit(img4k, dac_cfg))
+
+    tmp = os.path.join(out, "_raw")
+    os.makedirs(tmp, exist_ok=True)
+    with jax.profiler.trace(tmp):
+        with jax.profiler.TraceAnnotation("detect_4k_10k"):
+            for _ in range(ITERS):
+                o = P.detect_jit(img4k, det_cfg)
+            read(o)
+        with jax.profiler.TraceAnnotation("detect_and_compute_4k_40k_bad256"):
+            for _ in range(ITERS):
+                o = P.detect_and_compute_jit(img4k, dac_cfg)
+            read(o)
+
+    # flatten the newest capture to stable committed names
+    prof = os.path.join(tmp, "plugins", "profile")
+    runs = sorted(os.listdir(prof)) if os.path.isdir(prof) else []
+    if not runs:
+        print("no trace produced under", prof, file=sys.stderr)
+        return 1
+    src = os.path.join(prof, runs[-1])
+    n = 0
+    for f in os.listdir(src):
+        if f.endswith((".xplane.pb", ".trace.json.gz")):
+            ext = ".xplane.pb" if f.endswith(".xplane.pb") else \
+                ".trace.json.gz"
+            dst = os.path.join(out, f"detect_and_dac_4k{ext}")
+            shutil.copyfile(os.path.join(src, f), dst)
+            print("wrote", dst, os.path.getsize(dst), "bytes")
+            n += 1
+    shutil.rmtree(tmp)
+    return 0 if n else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
