@@ -47,7 +47,7 @@ def main():
     j, dist, valid = matcher.match(jnp.asarray(d1), jnp.asarray(d2),
                                    cross_check=True)
     j, dist, valid = np.asarray(j), np.asarray(dist), np.asarray(valid)
-    print(f"kps: {len(kps1)} / {len(kps2)}; cross-checked matches: "
+    print(f"kps: {kps1.count} / {kps2.count}; cross-checked matches: "
           f"{int(valid.sum())}; mean hamming {dist[valid].mean():.1f}")
 
     if args.homography:
