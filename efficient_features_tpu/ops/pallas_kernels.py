@@ -128,7 +128,7 @@ def _fast_harris_kernel(dims_ref, img_hbm, out_ref, win_ref, sem,
     out_ref[...] = jnp.where(corner & inb, resp, NEG_INF)
 
 
-def _tile_dims(h, w):
+def _tile_dims(h, w, h_step=8):
     # per-tile fixed cost (window DMA issue + grid step) is significant, so
     # prefer wide tiles: 4K at (128, 1024) runs ~30% faster than (128, 512)
     # while all live VMEM temporaries stay well under the raised vmem limit.
@@ -139,7 +139,11 @@ def _tile_dims(h, w):
     # overhang + FIXED), FIXED charging the measured per-tile issue cost
     # (round 3: (128,512) ran ~30% slower than (128,1024) at equal bytes);
     # ties prefer the larger tile.  tile_w stays a 128 multiple (DMA start
-    # alignment), tile_h an 8 multiple (sublanes, cell reduction).
+    # alignment), tile_h an `h_step` multiple: 8 for the dense kernels
+    # (sublanes), 64 for the cells kernel — its (tile_h/8, tile_w) output
+    # blocks must keep the sublane dim a multiple of 8 whenever the grid
+    # has more than one row (Mosaic block-shape rule; a 120-row tile at FHD
+    # fails to lower).
     def fit(n, step, cap, overhang, fixed):
         best = None
         for t in range(step, cap + 1, step):
@@ -151,7 +155,7 @@ def _tile_dims(h, w):
 
     tile_h = min(128, max(8, -(-h // 8) * 8))
     if h > 128:
-        tile_h = fit(h, 8, 128, 48, 16)
+        tile_h = fit(h, h_step, 128, 48, 16)
     tile_w = min(1024, max(128, -(-w // 128) * 128))
     if w > 1024:
         tile_w = fit(w, 128, 1024, 128, 128)
@@ -303,6 +307,84 @@ def radius_nms(resp: jax.Array, radius: int) -> jax.Array:
 # response map once more.
 
 
+def _disc_max(masked, radius, R, eh, tile_h, tile_w):
+    """Disc max-filter of the extended masked response, evaluated on the
+    tile.  f32 max is exactly associative/commutative (no NaNs here), so
+    any reduction tree is bit-identical to the per-row loop; this one
+    minimizes full-tile vector passes (the kernel's bounding resource):
+
+    - horizontal: one shared pow-2 ladder, then ONE row-max per distinct
+      disc half-width (rows sharing a width reuse it);
+    - vertical: per width, the disc rows form 1-2 contiguous dy bands
+      (widths shrink monotonically with |dy|); each band is covered by a
+      shared per-width vertical pow-2 ladder + <=2 combines instead of
+      one slice+max per row.  At radius 15 this is 21 vertical steps for
+      29 rows (the per-row loop paid 29)."""
+    pows = {1: masked}
+    p = 1
+    while 2 * p <= 2 * radius + 1:
+        prev = pows[p]
+        wprev = prev.shape[1]
+        pows[2 * p] = jnp.maximum(
+            jax.lax.slice(prev, (0, 0), (eh, wprev - p)),
+            jax.lax.slice(prev, (0, p), (eh, wprev)))
+        p *= 2
+
+    rows_by_w = {}
+    for dy, wdx in S.disc_row_extents(radius):
+        rows_by_w.setdefault(wdx, []).append(dy)
+
+    disc_max = jnp.full((tile_h, tile_w), NEG_INF)
+    for wdx, dys in sorted(rows_by_w.items()):
+        width = 2 * wdx + 1
+        k = 1
+        while k * 2 <= width:
+            k *= 2
+        rm = pows[k]
+        if k != width:
+            wk = rm.shape[1]
+            rm = jnp.maximum(
+                jax.lax.slice(rm, (0, 0), (eh, wk - (width - k))),
+                jax.lax.slice(rm, (0, width - k), (eh, wk)))
+        # contiguous dy runs for this width (symmetric around 0)
+        dys = sorted(dys)
+        runs = [[dys[0], dys[0]]]
+        for d in dys[1:]:
+            if d == runs[-1][1] + 1:
+                runs[-1][1] = d
+            else:
+                runs.append([d, d])
+        # shared vertical ladder on rm: vpows[q][r] = max over rows [r, r+q)
+        vpows = {1: rm}
+        wrm = rm.shape[1]
+
+        def vgrow(q):
+            while q not in vpows:
+                # build the smallest missing power bottom-up
+                qq = 1
+                while 2 * qq in vpows:
+                    qq *= 2
+                prev = vpows[qq]
+                hr = prev.shape[0]
+                vpows[2 * qq] = jnp.maximum(
+                    jax.lax.slice(prev, (0, 0), (hr - qq, wrm)),
+                    jax.lax.slice(prev, (qq, 0), (hr, wrm)))
+            return vpows[q]
+
+        for a, b in runs:
+            n = b - a + 1
+            q = 1
+            while q * 2 <= n:
+                q *= 2
+            v = vgrow(q)
+            starts = [a] if q == n else [a, b - q + 1]
+            for start in starts:               # 1 combine if q == n, else 2
+                disc_max = jnp.maximum(disc_max, jax.lax.slice(
+                    v, (R + start, R - wdx),
+                    (R + start + tile_h, R - wdx + tile_w)))
+    return disc_max
+
+
 def _fast_harris_nms_kernel(dims_ref, img_hbm, out_ref, win_ref, sem, *,
                             threshold, radius, tile_h, tile_w,
                             halo_y, halo_x):
@@ -392,36 +474,8 @@ def _fast_harris_nms_kernel(dims_ref, img_hbm, out_ref, win_ref, sem, *,
     masked = jnp.where(corner & inb, resp, NEG_INF)
 
     # ---- disc max-filter over the extended map, evaluated on the tile ----
-    pows = {1: masked}
-    p = 1
-    while 2 * p <= 2 * radius + 1:
-        prev = pows[p]
-        wprev = prev.shape[1]
-        pows[2 * p] = jnp.maximum(
-            jax.lax.slice(prev, (0, 0), (eh, wprev - p)),
-            jax.lax.slice(prev, (0, p), (eh, wprev)))
-        p *= 2
-
     center_resp = jax.lax.slice(masked, (R, R), (R + tile_h, R + tile_w))
-    disc_max = jnp.full((tile_h, tile_w), NEG_INF)
-    # per-distinct-width row-max reuse: see _fast_harris_nms_reduced_kernel
-    rowmax = {}
-    for dy, wdx in S.disc_row_extents(radius):
-        if wdx not in rowmax:
-            width = 2 * wdx + 1
-            k = 1
-            while k * 2 <= width:
-                k *= 2
-            left = pows[k]
-            if k != width:
-                wk = left.shape[1]
-                left = jnp.maximum(
-                    jax.lax.slice(left, (0, 0), (eh, wk - (width - k))),
-                    jax.lax.slice(left, (0, width - k), (eh, wk)))
-            rowmax[wdx] = left
-        contrib = jax.lax.slice(rowmax[wdx], (R + dy, R - wdx),
-                                (R + dy + tile_h, R - wdx + tile_w))
-        disc_max = jnp.maximum(disc_max, contrib)
+    disc_max = _disc_max(masked, radius, R, eh, tile_h, tile_w)
 
     survive = (center_resp != NEG_INF) & (center_resp >= disc_max)
     out_ref[...] = jnp.where(survive, center_resp, NEG_INF)
@@ -589,39 +643,8 @@ def _fast_harris_nms_reduced_kernel(dims_ref, *refs,
         inb = inb & mok
     masked = jnp.where(corner & inb, resp, NEG_INF)
 
-    pows = {1: masked}
-    p = 1
-    while 2 * p <= 2 * radius + 1:
-        prev = pows[p]
-        wprev = prev.shape[1]
-        pows[2 * p] = jnp.maximum(
-            jax.lax.slice(prev, (0, 0), (eh, wprev - p)),
-            jax.lax.slice(prev, (0, p), (eh, wprev)))
-        p *= 2
-
     center_resp = jax.lax.slice(masked, (R, R), (R + tile_h, R + tile_w))
-    disc_max = jnp.full((tile_h, tile_w), NEG_INF)
-    # rows of the disc sharing a half-width reuse ONE horizontal row-max
-    # (identical max tree -> identical f32 values): at radius 15 this cuts
-    # the disc stage from ~4 to ~2.5 full-tile passes per row (29 rows, 8
-    # distinct widths)
-    rowmax = {}
-    for dy, wdx in S.disc_row_extents(radius):
-        if wdx not in rowmax:
-            width = 2 * wdx + 1
-            k = 1
-            while k * 2 <= width:
-                k *= 2
-            left = pows[k]
-            if k != width:
-                wk = left.shape[1]
-                left = jnp.maximum(
-                    jax.lax.slice(left, (0, 0), (eh, wk - (width - k))),
-                    jax.lax.slice(left, (0, width - k), (eh, wk)))
-            rowmax[wdx] = left
-        contrib = jax.lax.slice(rowmax[wdx], (R + dy, R - wdx),
-                                (R + dy + tile_h, R - wdx + tile_w))
-        disc_max = jnp.maximum(disc_max, contrib)
+    disc_max = _disc_max(masked, radius, R, eh, tile_h, tile_w)
 
     survive = (center_resp != NEG_INF) & (center_resp >= disc_max)
     mfin = jnp.where(survive, center_resp, NEG_INF)
@@ -660,7 +683,9 @@ def fast_harris_nms_cells(image: jax.Array, threshold: int, radius: int,
     `halo_x` (static; A/B knob): column-halo width override, must be >= the
     kernel support and keep tile_w + 2*halo_x a 128 multiple."""
     h, w = image.shape
-    tile_h, tile_w = _tile_dims(h, w)
+    # h_step=64: the (tile_h/8, tile_w) output blocks need a sublane dim
+    # divisible by 8 when the grid has >1 row (see _tile_dims)
+    tile_h, tile_w = _tile_dims(h, w, h_step=64)
     gh = -(-h // tile_h)
     gw = -(-w // tile_w)
     # column halo aligned 64 (see fast_harris_nms): DMA width stays a 128

@@ -347,3 +347,42 @@ def test_warp_window_kernel_fuzz_extremes():
     d = np.abs(a.astype(int) - b.astype(int))
     assert d.max() <= 1
     assert (d != 0).mean() < 1e-3
+
+
+def test_disc_max_band_ladder_bit_exact():
+    """The shared band-ladder disc max (`PK._disc_max`) must equal the
+    brute-force per-(dy,dx) disc maximum bit-exactly for every radius: f32
+    max is exactly associative, so any tree is valid — this guards the
+    ladder's band/offset arithmetic."""
+    from efficient_features_tpu.utils import semantics as S
+    rng = np.random.default_rng(7)
+    for radius in (3, 7, 10, 15, 21):
+        R_ = radius - 1
+        tile_h, tile_w = 24, 40
+        eh, ew = tile_h + 2 * R_, tile_w + 2 * R_
+        m = rng.standard_normal((eh, ew)).astype(np.float32)
+        m[rng.random((eh, ew)) < 0.5] = PK.NEG_INF
+        got = np.asarray(PK._disc_max(jnp.asarray(m), radius, R_, eh,
+                                      tile_h, tile_w))
+        want = np.full((tile_h, tile_w), PK.NEG_INF, np.float32)
+        for dy, wdx in S.disc_row_extents(radius):
+            for dx in range(-wdx, wdx + 1):
+                want = np.maximum(
+                    want, m[R_ + dy:R_ + dy + tile_h,
+                            R_ + dx:R_ + dx + tile_w])
+        np.testing.assert_array_equal(got, want)
+
+
+def test_tile_dims_h_step_invariant():
+    """The cells kernel's (tile_h/8, tile_w) output blocks need the sublane
+    dim divisible by 8 whenever the grid has >1 row, i.e. tile_h % 64 == 0
+    (Mosaic block-shape rule; a 120-row tile at FHD fails to lower)."""
+    for h in (128, 129, 512, 1080, 1081, 2160, 4320, 333):
+        for w in (640, 1920, 3840, 7680):
+            th, tw = PK._tile_dims(h, w, h_step=64)
+            if h > th:                      # multi-row grid
+                assert th % 64 == 0, (h, w, th)
+            assert th % 8 == 0 and tw % 128 == 0
+            # default (dense kernels): 8-row granularity only
+            th8, _ = PK._tile_dims(h, w)
+            assert th8 % 8 == 0
