@@ -23,6 +23,7 @@ run in interpreter mode (used by the CPU-mesh test suite).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -153,9 +154,13 @@ def _tile_dims(h, w, h_step=8):
                 best = (cost, t)
         return best[1]
 
-    tile_h = min(128, max(8, -(-h // 8) * 8))
-    if h > 128:
-        tile_h = fit(h, h_step, 128, 48, 16)
+    # EFF_TPU_CELLS_TILE_CAP: A/B knob for taller tiles (e.g. 256 halves
+    # the vertical halo+extension overhang share; VMEM allows it after the
+    # raised limit) — read at trace time like EFF_TPU_BAD_FORMULATION
+    h_cap = int(os.environ.get("EFF_TPU_CELLS_TILE_CAP", "128"))
+    tile_h = min(h_cap, max(8, -(-h // 8) * 8))
+    if h > h_cap:
+        tile_h = fit(h, h_step, h_cap, 48, 16)
     tile_w = min(1024, max(128, -(-w // 128) * 128))
     if w > 1024:
         tile_w = fit(w, 128, 1024, 128, 128)
