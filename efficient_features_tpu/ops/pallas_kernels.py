@@ -47,6 +47,66 @@ def _trunc_mantissa(x, drop):
     return pltpu.bitcast(i & jnp.int32(~((1 << drop) - 1)), jnp.float32)
 
 
+def _fast_corner(tap, threshold):
+    """FAST-9 segment test as full-tile vector ops (cuda_fast.cu:42-166
+    semantics; the 8 KB LUT is replaced by bit algebra).
+
+    The brighter/darker indicator bits of the 16 Bresenham-circle taps ride
+    ONE int32 word (darker in bits 16..31), and the cyclic run-of-9 test is
+    log-doubled: runs>=2 -> >=4 -> >=8 -> &rot(word,8) >= 9.  Four
+    field-wise rotate-AND steps on one word replace the 8-step rotate chain
+    on two words — ~55 fewer full-tile passes, the kernel's bounding
+    resource (SOL.md: vector-pass floor).  Bit-exact: identical Boolean
+    function to AND_{j=0..8} rot(mask, j) per mask.
+
+    EFF_TPU_FAST_RUN9=chain (trace-time) restores the two-mask 8-step
+    chain for A/B.
+    """
+    center = tap(0, 0)
+    hi = center + threshold
+    lo = center - threshold
+    if S.FAST_ARC_LEN != 9 or os.environ.get("EFF_TPU_FAST_RUN9") == "chain":
+        brighter = jnp.zeros_like(center)
+        darker = jnp.zeros_like(center)
+        for bit, (dy, dx) in enumerate(S.FAST_CIRCLE):
+            v = tap(int(dy), int(dx))
+            brighter = brighter | ((v > hi).astype(jnp.int32) << bit)
+            darker = darker | ((v < lo).astype(jnp.int32) << bit)
+
+        def any_run(m):
+            acc = m
+            for s in range(1, S.FAST_ARC_LEN):
+                acc = acc & (((m >> s) | (m << (16 - s))) & 0xFFFF)
+            return acc != 0
+
+        return any_run(brighter) | any_run(darker)
+
+    word = jnp.zeros_like(center)
+    for bit, (dy, dx) in enumerate(S.FAST_CIRCLE):
+        v = tap(int(dy), int(dx))
+        word = (word | ((v > hi).astype(jnp.int32) << bit)
+                | ((v < lo).astype(jnp.int32) << (bit + 16)))
+
+    def i32c(v):
+        v &= 0xFFFFFFFF
+        return jnp.int32(v - (1 << 32) if v >= (1 << 31) else v)
+
+    def rot(x, s):
+        # simultaneous cyclic rotate of both 16-bit fields: keep clears the
+        # top s bits of each field (incl. the arithmetic-shift sign smear),
+        # wrap admits exactly the s wrapped-around bits per field
+        keep = i32c((0xFFFF >> s) * 0x10001)
+        wrap = i32c((((1 << s) - 1) << (16 - s)) * 0x10001)
+        return ((x >> s) & keep) | ((x << (16 - s)) & wrap)
+
+    acc = word & rot(word, 1)          # cyclic runs >= 2
+    acc = acc & rot(acc, 2)            # >= 4
+    acc = acc & rot(acc, 4)            # >= 8
+    acc = acc & rot(word, 8)           # >= 9
+    # any bit set in either field == run9(brighter) | run9(darker)
+    return acc != 0
+
+
 # ---------------------------------------------------------------------------
 # Kernel 1: fused FAST + Harris
 # ---------------------------------------------------------------------------
@@ -72,23 +132,8 @@ def _fast_harris_kernel(dims_ref, img_hbm, out_ref, win_ref, sem,
                              (oy + dy + hh, ox + dx + ww))
 
     # ---- FAST-9 ----
-    center = sh(0, 0, tile_h, tile_w, halo_y, halo_x)
-    hi = center + threshold
-    lo = center - threshold
-    brighter = jnp.zeros((tile_h, tile_w), jnp.int32)
-    darker = jnp.zeros((tile_h, tile_w), jnp.int32)
-    for bit, (dy, dx) in enumerate(S.FAST_CIRCLE):
-        v = sh(int(dy), int(dx), tile_h, tile_w, halo_y, halo_x)
-        brighter = brighter | ((v > hi).astype(jnp.int32) << bit)
-        darker = darker | ((v < lo).astype(jnp.int32) << bit)
-
-    def any_run9(m):
-        acc = m
-        for s in range(1, S.FAST_ARC_LEN):
-            acc = acc & (((m >> s) | (m << (16 - s))) & 0xFFFF)
-        return acc != 0
-
-    corner = any_run9(brighter) | any_run9(darker)
+    corner = _fast_corner(
+        lambda dy, dx: sh(dy, dx, tile_h, tile_w, halo_y, halo_x), threshold)
 
     # ---- Harris (exact int32 sums, FMA-immune f32 combine) ----
     eh = tile_h + 6
@@ -416,23 +461,8 @@ def _fast_harris_nms_kernel(dims_ref, img_hbm, out_ref, win_ref, sem, *,
                              (o_y + dy + hh, o_x + dx + ww))
 
     # ---- FAST-9 on the extended region ----
-    center = sh(0, 0, eh, ew, oy, ox)
-    hi = center + threshold
-    lo = center - threshold
-    brighter = jnp.zeros((eh, ew), jnp.int32)
-    darker = jnp.zeros((eh, ew), jnp.int32)
-    for bit, (dy, dx) in enumerate(S.FAST_CIRCLE):
-        v = sh(int(dy), int(dx), eh, ew, oy, ox)
-        brighter = brighter | ((v > hi).astype(jnp.int32) << bit)
-        darker = darker | ((v < lo).astype(jnp.int32) << bit)
-
-    def any_run9(m):
-        acc = m
-        for s in range(1, S.FAST_ARC_LEN):
-            acc = acc & (((m >> s) | (m << (16 - s))) & 0xFFFF)
-        return acc != 0
-
-    corner = any_run9(brighter) | any_run9(darker)
+    corner = _fast_corner(
+        lambda dy, dx: sh(dy, dx, eh, ew, oy, ox), threshold)
 
     # ---- Harris on the extended region ----
     gh2 = eh + 6
@@ -583,23 +613,8 @@ def _fast_harris_nms_reduced_kernel(dims_ref, *refs,
         return jax.lax.slice(win, (o_y + dy, o_x + dx),
                              (o_y + dy + hh, o_x + dx + ww))
 
-    center = sh(0, 0, eh, ew, oy, ox)
-    hi = center + threshold
-    lo = center - threshold
-    brighter = jnp.zeros((eh, ew), jnp.int32)
-    darker = jnp.zeros((eh, ew), jnp.int32)
-    for bit, (dy, dx) in enumerate(S.FAST_CIRCLE):
-        v = sh(int(dy), int(dx), eh, ew, oy, ox)
-        brighter = brighter | ((v > hi).astype(jnp.int32) << bit)
-        darker = darker | ((v < lo).astype(jnp.int32) << bit)
-
-    def any_run9(m):
-        acc = m
-        for s in range(1, S.FAST_ARC_LEN):
-            acc = acc & (((m >> s) | (m << (16 - s))) & 0xFFFF)
-        return acc != 0
-
-    corner = any_run9(brighter) | any_run9(darker)
+    corner = _fast_corner(
+        lambda dy, dx: sh(dy, dx, eh, ew, oy, ox), threshold)
 
     gh2 = eh + 6
     gw2 = ew + 6
