@@ -86,6 +86,25 @@ def test_detect_pipeline_compiled_bit_exact_real_image():
     assert np.minimum(d, 360 - d).max() < 1e-3
 
 
+def test_detect_pipeline_compiled_bit_exact_drive_scene():
+    """The verify-drive scene (480x640 synthetic, util.make_test_image) —
+    a second full-pyramid shape family compiled vs the oracle.  Added after
+    a round-4 drive regression appeared ONLY at these level shapes (the
+    real-photo test above stayed green), so this pins both shape families."""
+    from util import make_test_image
+
+    img_ = make_test_image(480, 640, seed=11)
+    cfg = P.FeatureConfig(nfeatures=3000)
+    slots = {k: np.asarray(v)
+             for k, v in P.detect_jit(jnp.asarray(img_), cfg).items()}
+    oracle = R.detect(img_, nfeatures=3000)
+    m = slots["valid"]
+    assert int(slots["count"]) == oracle.count
+    np.testing.assert_array_equal(slots["x"][m], oracle.x)
+    np.testing.assert_array_equal(slots["y"][m], oracle.y)
+    np.testing.assert_array_equal(slots["response"][m], oracle.response)
+
+
 def test_bad_100k_keypoints_compiled():
     """The reference's own test scale (100k keypoints,
     descriptor_test.cpp:28) through the chunked window kernel, compiled."""
