@@ -289,6 +289,17 @@ def main():
                     lambda: hs_unfused(img4k, kps_j, valid), 8, None,
                     "mxu_bf16", 32.0))
 
+    # A/B: warp kernel body (round-8) — "select": full-height (128, npx)
+    # row-index wheres; "split": per-half (64, npx) builds with hoisted
+    # pair-invariant iotas.  Bit-identical; the standalone warp is ~70% of
+    # the HS pipeline (round-3.5 honest split: warp 26.8 of 46.6).
+    for wbody in ("select", "split"):
+        metrics.append((
+            f"warp40k_{wbody}",
+            lambda wbody=wbody: WKm.warp_patches_windows(
+                img4k, kx, ky, ksz, kang, valid, 1.0, body_kind=wbody),
+            8, None, "vpu", None))
+
     # masked detect (round-2 verdict: the masked path must not cliff)
     mask4k = jnp.asarray(np.ones(sizes["4k"], np.uint8))
     metrics.append(("detect_4k_masked",

@@ -874,6 +874,17 @@ def _ic_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref, umax_ref,
     def _():
         get_dma(meta_ref[0] & 1, 0).start()
 
+    # keypoint-invariant builds hoisted out of the fori_loop body (loop
+    # constants; XLA is not guaranteed to LICM full-tile iota
+    # materializations out of a traced loop)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (npr, _IC_WIN_H), 1)
+    p_i = jax.lax.broadcasted_iota(jnp.int32, (npr, _IC_WIN_H), 0)
+    dyrow = p_i - r                                          # dy per row
+    dyv = jax.lax.broadcasted_iota(jnp.int32, (npr, WIN_W), 0) - r
+    cols = jax.lax.broadcasted_iota(jnp.int32, (npr, WIN_W), 1)
+    umax = umax_ref[...][0:npr, 0:1]
+    dyf_m = dyv.astype(jnp.float32)
+
     def body(k, carry):
         idx = i * _IC_KPB + k
         meta = meta_ref[idx]
@@ -899,19 +910,15 @@ def _ic_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref, umax_ref,
         # against a scalar, and the umax disc mask keeps |dxv| <= 15 so all
         # f32 moment sums stay exact integers — this avoids a per-keypoint
         # unaligned lane roll of the whole window
-        rows_i = jax.lax.broadcasted_iota(jnp.int32, (npr, _IC_WIN_H), 1)
-        p_i = jax.lax.broadcasted_iota(jnp.int32, (npr, _IC_WIN_H), 0)
-        onerow = (rows_i == p_i + (yloc - r)).astype(jnp.bfloat16)
+        onerow = (rows_i == dyrow + yloc).astype(jnp.bfloat16)
 
         t = jnp.dot(onerow, winbf_ref[slot],
                     preferred_element_type=jnp.float32)
 
-        dyv = jax.lax.broadcasted_iota(jnp.int32, (npr, WIN_W), 0) - r
-        dxv = jax.lax.broadcasted_iota(jnp.int32, (npr, WIN_W), 1) - xloc
-        umax = umax_ref[...][0:npr, 0:1]
+        dxv = cols - xloc
         mask = (jnp.abs(dxv) <= umax).astype(jnp.float32)
         m10 = (t * (dxv.astype(jnp.float32) * mask)).sum()
-        m01 = (t * (dyv.astype(jnp.float32) * mask)).sum()
+        m01 = (t * (dyf_m * mask)).sum()
         out_ref[pl.ds(k, 1), 0] = m01.reshape(1)
         out_ref[pl.ds(k, 1), 1] = m10.reshape(1)
         return carry
@@ -997,10 +1004,22 @@ _WARP_SLICE_H = 56
 # support stays inside the slab (out-of-image samples are masked anyway).
 _WARP_CW = 64
 
+# Warp kernel body variant (trace-time A/B knob, like EFF_TPU_BAD_FORMULATION):
+#   "select" — one (128, npx) build per pair stage, the two halves routed by
+#              row-index selects (uu/vv/du/rr wheres over full-height arrays);
+#   "split"  — per-half (64, npx) builds with the pair-invariant iota arrays
+#              hoisted out of the unrolled pair loop; drops the full-height
+#              where/broadcast passes at the cost of one X2 concat.  Both are
+#              bit-identical (same per-keypoint arithmetic); which spends
+#              fewer full-tile vector passes (the kernel's bounding resource,
+#              SOL.md round-4 model) is a Mosaic scheduling question the
+#              on-chip A/B decides.
+_WARP_BODY = os.environ.get("EFF_TPU_WARP_BODY", "select")
+
 
 def _warp_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref,
                  img_hbm, out_ref, win_ref, winbf_ref, sem, *,
-                 img_w, img_h):
+                 img_w, img_h, body_kind=_WARP_BODY):
     """Patch warp, two keypoints per MXU pass.
 
     Keypoints are processed in PAIRS sharing (128,128)@(128,1024) matmuls:
@@ -1012,6 +1031,11 @@ def _warp_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref,
     (XLA-side _affine_scalars) so the scalar core runs no transcendentals."""
     i = pl.program_id(0)
     npx = 32 * 32
+
+    # pair-invariant integer iota difference for the column-compaction
+    # selector: hoisted so the unrolled pair loop re-uses one build
+    Dsel = (jax.lax.broadcasted_iota(jnp.int32, (WIN_W, _WARP_CW), 0)
+            - jax.lax.broadcasted_iota(jnp.int32, (WIN_W, _WARP_CW), 1))
 
     def get_dma(slot, idx):
         return pltpu.make_async_copy(
@@ -1072,9 +1096,7 @@ def _warp_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref,
         # column, so win_c holds exact pixel integers.
         xi_loc = jnp.floor(kp_ref[k, 0]).astype(jnp.int32) - bx_ref[idx]
         off = jnp.clip(xi_loc - 32, 0, WIN_W - _WARP_CW)
-        csel = jax.lax.broadcasted_iota(jnp.int32, (WIN_W, _WARP_CW), 0)
-        jsel = jax.lax.broadcasted_iota(jnp.int32, (WIN_W, _WARP_CW), 1)
-        Pm = (csel == jsel + off).astype(jnp.bfloat16)
+        Pm = (Dsel == off).astype(jnp.bfloat16)
         win_c = jnp.dot(win56, Pm, preferred_element_type=jnp.float32)
         blk = jnp.concatenate(
             [win_c, jnp.zeros((64 - _WARP_SLICE_H, _WARP_CW), jnp.float32)],
@@ -1084,17 +1106,64 @@ def _warp_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref,
         v_loc = v - (by_ref[idx] + row_off).astype(jnp.float32)
         return blk, u_loc, v_loc, valid_px
 
-    def body(pair):
-        blk0, u0, v0, vp0 = half(pair, 0)
-        blk1, u1, v1, vp1 = half(pair, 1)
-
+    def _lhs(blk0, blk1):
         # block-diagonal LHS: [[blk0, 0], [0, blk1]] — one full (128,128)
         # tile; the zero blocks make each keypoint's rows see only its own
         # hat factors, so products stay exact
         z64 = jnp.zeros((64, _WARP_CW), jnp.bfloat16)
-        lhs = jnp.concatenate(
+        return jnp.concatenate(
             [jnp.concatenate([blk0, z64], axis=1),
              jnp.concatenate([z64, blk1], axis=1)], axis=0)   # (128, 128)
+
+    # "split"-body pair-invariant builds (see _WARP_BODY): one iota cast per
+    # program, shared by all pairs and both halves
+    if body_kind == "split":
+        cc64 = jax.lax.broadcasted_iota(
+            jnp.int32, (_WARP_CW, npx), 0).astype(jnp.float32)
+        rr64 = jax.lax.broadcasted_iota(
+            jnp.int32, (64, npx), 0).astype(jnp.float32)
+
+    def sel64(ufl):
+        # packed left/right bilinear selector for ONE keypoint: rows = its 64
+        # compacted window columns; exact {0, 1, 4096} f32 (the same packing
+        # as the "select" body's X2, one 64-row half at a time)
+        return (jnp.where(cc64 == ufl, np.float32(1.0), np.float32(0.0))
+                + jnp.where(cc64 == ufl + np.float32(1.0),
+                            np.float32(4096.0), np.float32(0.0)))
+
+    def body_split(pair):
+        blk0, u0, v0, vp0 = half(pair, 0)
+        blk1, u1, v1, vp1 = half(pair, 1)
+        lhs = _lhs(blk0, blk1)
+
+        ufl0 = jnp.floor(u0)
+        ufl1 = jnp.floor(u1)
+        X2 = jnp.concatenate([sel64(ufl0), sel64(ufl1)], axis=0)
+        z2 = jnp.dot(lhs, X2.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)      # (128, npx)
+        z_r = jnp.floor(z2 * np.float32(1.0 / 4096.0))
+        z_l = z2 - np.float32(4096.0) * z_r
+
+        # per-half (64, npx) lerp + vertical hat: no full-height row-index
+        # selects; du/v broadcast from (1, npx) rows
+        for j, (u, v, ufl, vp, r0) in enumerate(
+                ((u0, v0, ufl0, vp0, 0), (u1, v1, ufl1, vp1, 64))):
+            du = u - ufl
+            s = ((np.float32(1.0) - du)
+                 * jax.lax.slice(z_l, (r0, 0), (r0 + 64, npx))
+                 + du * jax.lax.slice(z_r, (r0, 0), (r0 + 64, npx)))
+            Y = jnp.maximum(np.float32(1.0) - jnp.abs(rr64 - v),
+                            np.float32(0.0))
+            t = (Y * s).sum(axis=0, keepdims=True)            # (1, npx)
+            val = jnp.minimum(jnp.trunc(t + np.float32(0.5)),
+                              np.float32(255.0))
+            out_ref[2 * pair + j:2 * pair + j + 1, :] = jnp.where(
+                vp, val, 0.0).astype(jnp.int32).astype(jnp.uint8)
+
+    def body(pair):
+        blk0, u0, v0, vp0 = half(pair, 0)
+        blk1, u1, v1, vp1 = half(pair, 1)
+        lhs = _lhs(blk0, blk1)
 
         # the MXU does only EXACT one-hot gathers: X packs the left bilinear
         # pixel selector (c == floor(u), weight 1) and the right selector
@@ -1147,12 +1216,14 @@ def _warp_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref,
             vp1, val1, 0.0).astype(jnp.int32).astype(jnp.uint8)
 
     for pair in range(_WARP_KPB // 2):
-        body(pair)
+        (body_split if body_kind == "split" else body)(pair)
 
 
-@functools.partial(jax.jit, static_argnums=(6,))
+@functools.partial(jax.jit, static_argnums=(6, 7),
+                   static_argnames=("body_kind",))
 def _warp_patches_windows_impl(image, x, y, size, angle, valid,
-                               cropping_scale: float):
+                               cropping_scale: float,
+                               body_kind: str = _WARP_BODY):
     """(N, 1024) uint8 warped patches via the window kernel.
 
     The MXU only gathers (exact one-hot factors); bilinear weights apply on
@@ -1174,7 +1245,8 @@ def _warp_patches_windows_impl(image, x, y, size, angle, valid,
     meta = ((grp & 1) | (start << 1)).astype(jnp.int32)
     kp = _affine_block(kx, ky, ks, ka, cropping_scale)
 
-    kernel = functools.partial(_warp_kernel, img_w=w, img_h=h)
+    kernel = functools.partial(_warp_kernel, img_w=w, img_h=h,
+                               body_kind=body_kind)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1565,6 +1637,19 @@ def _warp_kernel_big(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref,
     def _():
         get_dma(meta_ref[0] & 1, 0).start()
 
+    # keypoint-invariant iota builds hoisted out of the unrolled loop (full-
+    # tile materializations are the bounding vector passes; Mosaic is not
+    # guaranteed to CSE them across the 8 unrolled bodies)
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
+    pxf = (pidx % 32).astype(jnp.float32)
+    pyf = (pidx // 32).astype(jnp.float32)
+    Dsel = (jax.lax.broadcasted_iota(jnp.int32, (win_w, cwp), 0)
+            - jax.lax.broadcasted_iota(jnp.int32, (win_w, cwp), 1))
+    ccf = jax.lax.broadcasted_iota(
+        jnp.int32, (cwp, npx), 0).astype(jnp.float32)
+    rrf = jax.lax.broadcasted_iota(
+        jnp.int32, (slice_h, npx), 0).astype(jnp.float32)
+
     def body(k):
         idx = i * _WARPB_KPB + k
         meta = meta_ref[idx]
@@ -1584,9 +1669,6 @@ def _warp_kernel_big(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref,
 
         _, _, _, cost, sint, m02, m12 = _affine_from_block(kp_ref, k)
 
-        pidx = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
-        pxf = (pidx % 32).astype(jnp.float32)
-        pyf = (pidx // 32).astype(jnp.float32)
         u = cost * pxf - sint * pyf + m02
         v = sint * pxf + cost * pyf + m12
         ui = jnp.floor(u).astype(jnp.int32)
@@ -1600,9 +1682,7 @@ def _warp_kernel_big(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref,
 
         xi_loc = jnp.floor(kp_ref[k, 0]).astype(jnp.int32) - bx_ref[idx]
         off = jnp.clip(xi_loc - half, 0, win_w - cwp)
-        csel = jax.lax.broadcasted_iota(jnp.int32, (win_w, cwp), 0)
-        jsel = jax.lax.broadcasted_iota(jnp.int32, (win_w, cwp), 1)
-        Pm = (csel == jsel + off).astype(jnp.bfloat16)
+        Pm = (Dsel == off).astype(jnp.bfloat16)
         win_c = jnp.dot(winr, Pm,
                         preferred_element_type=jnp.float32)  # exact ints
         win_c = win_c.astype(jnp.bfloat16)                   # (slice_h, cwp)
@@ -1610,8 +1690,6 @@ def _warp_kernel_big(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref,
         u_loc = u - (bx_ref[idx] + off).astype(jnp.float32)  # (1, npx)
         v_loc = v - (by_ref[idx] + row_off).astype(jnp.float32)
 
-        ksel = jax.lax.broadcasted_iota(jnp.int32, (cwp, npx), 0)
-        ccf = ksel.astype(jnp.float32)
         ufl = jnp.floor(u_loc)
         # packed left/right one-hot gather: ONE matmul, exact fields
         # (see _warp_kernel)
@@ -1625,8 +1703,6 @@ def _warp_kernel_big(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref,
 
         du = u_loc - ufl
         sres = (np.float32(1.0) - du) * z_l + du * z_r       # (slice_h, npx)
-        rrf = jax.lax.broadcasted_iota(
-            jnp.int32, (slice_h, npx), 0).astype(jnp.float32)
         Y = jnp.maximum(np.float32(1.0) - jnp.abs(rrf - v_loc),
                         np.float32(0.0))
         t = (Y * sres).sum(axis=0, keepdims=True)            # (1, npx)
