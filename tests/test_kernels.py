@@ -101,6 +101,27 @@ def test_warp_window_kernel_exact(img):
     assert (a != b).mean() < 1e-3
 
 
+def test_warp_body_variants_bit_identical(img):
+    """The two warp kernel bodies (EFF_TPU_WARP_BODY: 'select' full-height
+    row-index wheres vs 'split' per-half builds with hoisted invariant
+    iotas) run identical per-keypoint arithmetic and must agree BYTE-FOR-
+    BYTE — including corner keypoints (the m02/u=0 cancellation class) and
+    arbitrary angles."""
+    h, w = img.shape
+    n = 16
+    x, y, size, angle = make_keypoints(h, w, n, seed=9)
+    x[:4] = [15.0, w - 16.0, 15.0, w - 16.0]
+    y[:4] = [15.0, 15.0, h - 16.0, h - 16.0]
+    angle[4:8] = -1.0
+    valid = np.ones(n, bool)
+    args = [jnp.asarray(a) for a in (x, y, size, angle, valid)]
+    a = np.asarray(WK.warp_patches_windows(
+        jnp.asarray(img), *args, 1.0, body_kind="select"))
+    b = np.asarray(WK.warp_patches_windows(
+        jnp.asarray(img), *args, 1.0, body_kind="split"))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_warp_window_kernel_saturated_edges():
     """Packed one-hot gather extremes: hard 0/255 edges drive the packed
     field z = z_l + 4096*z_r to its corners (0, 255, 4096*255, 255+4096*255);

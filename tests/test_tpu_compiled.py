@@ -29,6 +29,7 @@ from test_kernels import (  # noqa: F401
     test_bad_window_kernel_exact,
     test_bad_window_kernel_pixel_extremes,
     test_warp_window_kernel_exact,
+    test_warp_body_variants_bit_identical,
     test_warp_window_kernel_saturated_edges,
     test_ic_window_kernel_exact,
     test_bad_window_kernel_100k_chunked,
