@@ -583,3 +583,69 @@ def _pyramid_batch2d_jit(h: int, w: int, cfg: P.FeatureConfig, mesh: Mesh,
     sharded = jax.shard_map(vband, mesh=mesh, in_specs=in_specs,
                             out_specs=P_(dp_ax), check_vma=False)
     return jax.jit(sharded), pad_h
+
+
+# ---------------------------------------------------------------------------
+# Matching with the QUERY axis sharded over the mesh
+# ---------------------------------------------------------------------------
+
+
+def knn2_match_sharded(desc1: jax.Array, valid1: jax.Array,
+                       desc2: jax.Array, valid2: jax.Array, mesh: Mesh,
+                       max_ratio: float = 0.8):
+    """knn2 ratio+cross-check matching with BOTH descriptor sets sharded
+    over the mesh (the serving axis for multi-image map/localization
+    backends matching 100k+ descriptors per frame pair).
+
+    Each device all_gathers the packed uint8 descriptors (N*nbits/8 bytes —
+    2.6 MB at 40k/512, riding ICI) and runs the streaming fused kernel
+    (ops/matcher._fused_topk2) on its query shard against the full train
+    set, plus the reverse direction on its train shard for the cross check;
+    the (N2,) reverse-best index vector is all_gathered.  Compute and the
+    dominant descriptor-stream traffic scale 1/n_dev; outputs match
+    ops.matcher.knn2_ratio_match_masked_fused rows exactly.
+
+    Returns (j, best, ok) aligned with desc1 rows (same contract as
+    knn2_ratio_match_masked)."""
+    n_dev = mesh.devices.size
+    n1 = desc1.shape[0]
+    n2 = desc2.shape[0]
+    n1p = -(-n1 // n_dev) * n_dev
+    n2p = -(-n2 // n_dev) * n_dev
+    d1 = jnp.pad(desc1, ((0, n1p - n1), (0, 0)))
+    v1 = jnp.pad(valid1.astype(bool), (0, n1p - n1))
+    d2 = jnp.pad(desc2, ((0, n2p - n2), (0, 0)))
+    v2 = jnp.pad(valid2.astype(bool), (0, n2p - n2))
+    j, best, ok = _match_sharded_jit(mesh, float(max_ratio))(d1, v1, d2, v2)
+    return j[:n1], best[:n1], ok[:n1]
+
+
+@functools.lru_cache(maxsize=None)
+def _match_sharded_jit(mesh: Mesh, max_ratio: float):
+    from ..ops import matcher as OM
+
+    axis = mesh.axis_names[0]
+
+    def body(d1, v1, d2, v2):
+        nbits = d1.shape[1] * 8
+        d1f = jax.lax.all_gather(d1, axis, tiled=True)
+        v1f = jax.lax.all_gather(v1, axis, tiled=True)
+        d2f = jax.lax.all_gather(d2, axis, tiled=True)
+        v2f = jax.lax.all_gather(v2, axis, tiled=True)
+        j, bdot, sdot = OM._fused_topk2(d1, d2f, v2f)
+        best = OM._dot_to_hamming(bdot, nbits)
+        second = OM._dot_to_hamming(sdot, nbits)
+        ib, _, _ = OM._fused_topk2(d2, d1f, v1f)
+        i_back = jax.lax.all_gather(ib, axis, tiled=True)
+        off = jax.lax.axis_index(axis) * d1.shape[0]
+        ratio_ok = (best.astype(jnp.float32)
+                    <= max_ratio * second.astype(jnp.float32))
+        cross_ok = i_back[j] == (jnp.arange(d1.shape[0]) + off)
+        ok = ratio_ok & cross_ok & v1 & (bdot > -OM._MASK_PENALTY * 0.5)
+        return j, best, ok
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P_(axis, None), P_(axis), P_(axis, None), P_(axis)),
+        out_specs=(P_(axis), P_(axis), P_(axis)), check_vma=False)
+    return jax.jit(sharded)

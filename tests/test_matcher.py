@@ -58,6 +58,62 @@ def test_knn_ratio_match_masked():
     assert (best[good & ok] == 0).all()
 
 
+def test_fused_topk2_bit_exact_multitile():
+    """Streaming Pallas top-2 == dense hamming_matrix top-2, including
+    cross-tile merge steps and duplicate-distance tie-breaking (lowest
+    index, matching argmin/top_k)."""
+    rng = np.random.default_rng(7)
+    pool = rng.integers(0, 256, (6, 64), dtype=np.uint8)  # heavy ties
+    d1 = pool[rng.integers(0, 6, 513)]                    # 3 query tiles
+    d2 = pool[rng.integers(0, 6, 1700)]                   # 4 train tiles
+    d2[1500] = d2[100]            # exact duplicate ACROSS train tiles
+    d1j, d2j = jnp.asarray(d1), jnp.asarray(d2)
+    d = np.asarray(matcher.hamming_matrix(d1j, d2j))
+    srt = np.sort(d, axis=1)
+    j, bd, sd = map(np.asarray, matcher._fused_topk2(d1j, d2j, None))
+    np.testing.assert_array_equal(j, d.argmin(1))
+    np.testing.assert_array_equal(((512 - bd) / 2).astype(int), srt[:, 0])
+    np.testing.assert_array_equal(((512 - sd) / 2).astype(int), srt[:, 1])
+
+
+def test_fused_match_parity():
+    rng = np.random.default_rng(8)
+    pool = rng.integers(0, 256, (8, 32), dtype=np.uint8)
+    d1 = jnp.asarray(pool[rng.integers(0, 8, 300)])
+    d2 = jnp.asarray(pool[rng.integers(0, 8, 437)])
+    for cc in (True, False):
+        a = list(map(np.asarray, matcher.match(d1, d2, cc, fused=False)))
+        b = list(map(np.asarray, matcher.match_fused(d1, d2, cc)))
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+    a = list(map(np.asarray,
+                 matcher.knn2_ratio_match(d1, d2, 0.8, fused=False)))
+    b = list(map(np.asarray, matcher.knn2_ratio_match_fused(d1, d2, 0.8)))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_fused_masked_parity():
+    """Masked fused matcher agrees with the XLA path on ok, and on j/best
+    wherever ok (all-invalid rows return sentinel distances by design)."""
+    rng = np.random.default_rng(9)
+    pool = rng.integers(0, 256, (6, 64), dtype=np.uint8)
+    d1 = jnp.asarray(pool[rng.integers(0, 6, 513)])
+    d2 = jnp.asarray(pool[rng.integers(0, 6, 1100)])
+    v1 = jnp.asarray(rng.random(513) > 0.2)
+    v2 = jnp.asarray(rng.random(1100) > 0.2)
+    a = list(map(np.asarray,
+                 matcher.knn2_ratio_match_masked(d1, v1, d2, v2, 0.8,
+                                                 fused=False)))
+    b = list(map(np.asarray,
+                 matcher.knn2_ratio_match_masked_fused(d1, v1, d2, v2, 0.8)))
+    ok = a[2]
+    np.testing.assert_array_equal(ok, b[2])
+    assert ok.any()
+    np.testing.assert_array_equal(a[0][ok], b[0][ok])
+    np.testing.assert_array_equal(a[1][ok], b[1][ok])
+
+
 def test_knn_ratio_match():
     rng = np.random.default_rng(2)
     d2 = rng.integers(0, 256, (64, 64), dtype=np.uint8)

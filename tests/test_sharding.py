@@ -320,3 +320,27 @@ def test_api_batch_as_host_matches_single():
         np.testing.assert_array_equal(desc, d1)
         np.testing.assert_array_equal(feat.compute(images[i], kps),
                                       feat.compute(images[i], k1))
+
+
+def test_knn2_match_sharded_matches_single_chip():
+    """Query/train-axis sharded matcher == the single-chip masked XLA path
+    (ok exactly; j/best wherever ok — all-invalid rows carry sentinels)."""
+    from efficient_features_tpu.ops import matcher as M
+
+    rng = np.random.default_rng(21)
+    pool = rng.integers(0, 256, (7, 64), dtype=np.uint8)  # tie-heavy
+    d1 = pool[rng.integers(0, 7, 333)]          # not mesh/tile multiples
+    d2 = pool[rng.integers(0, 7, 517)]
+    v1 = rng.random(333) > 0.15
+    v2 = rng.random(517) > 0.15
+    mesh = SH.make_mesh(8)
+    j, best, ok = map(np.asarray, SH.knn2_match_sharded(
+        jnp.asarray(d1), jnp.asarray(v1), jnp.asarray(d2), jnp.asarray(v2),
+        mesh, 0.8))
+    jr, br, okr = map(np.asarray, M.knn2_ratio_match_masked(
+        jnp.asarray(d1), jnp.asarray(v1), jnp.asarray(d2), jnp.asarray(v2),
+        0.8))
+    np.testing.assert_array_equal(ok, okr)
+    assert ok.any()
+    np.testing.assert_array_equal(j[ok], jr[ok])
+    np.testing.assert_array_equal(best[ok], br[ok])

@@ -52,6 +52,13 @@ from test_ransac import (  # noqa: F401
     test_recovers_homography_with_outliers,
     test_exact_on_clean_minimal_data,
 )
+# streaming fused matcher kernel (tiled +-1 GEMM + in-VMEM running top-2)
+# compiled on the real chip
+from test_matcher import (  # noqa: F401
+    test_fused_topk2_bit_exact_multitile,
+    test_fused_match_parity,
+    test_fused_masked_parity,
+)
 
 pytestmark = pytest.mark.tpu
 
