@@ -6,6 +6,21 @@ Prints ONE JSON line with the headline metric:
   milliseconds; vs_baseline = reference RTX 3060 Ti time (7.2 ms,
   README.md:68-70) / ours.
 
+Driver-proof protocol (round 5 — round 4's bench timed out under the
+driver and recorded NOTHING, which taught us the reference's lesson the
+hard way: sample_benchmark.cpp always completes and always reports):
+  * The HEADLINE metric is measured FIRST and its one-line JSON is printed
+    (and flushed) immediately — a later kill cannot erase the round's
+    number.  Nothing else is ever printed to stdout.
+  * BENCH_DETAIL.json is rewritten ATOMICALLY after EVERY metric; a kill
+    at any point preserves all completed rows plus a "skipped" list.
+  * A wall-clock budget (env EFF_TPU_BENCH_BUDGET_S, default 420 s after
+    the headline prints) gates each remaining metric; optional rows (A/Bs,
+    the dense matcher, pallas-resize) are ordered last and skipped first.
+  * tools/warm_cache.py pre-compiles every bench shape into .xla_cache
+    (committed for the TPU backend — executables are device code and
+    host-portable), so the driver's round-end run is compile-free.
+
 Timing protocol: under the axon tunnel, per-call host syncs cost ~30 ms and
 jax.block_until_ready returns early, so each measurement queues N dispatches
 and forces completion with a single host read of ONE output element.  The
@@ -14,32 +29,30 @@ probe: detect-FHD per-iter = 33/18/9 ms at 1/3/24 iters), so iteration
 counts are 8+ to amortize it — matching the reference protocol's 100
 iterations (sample_benchmark.cpp:39-52) in spirit.
 
-Share normalization (round 4): this dev chip is time-shared with 5-10x
-share swings on a minutes scale, so absolute ms mean little.  Every metric
-declares its bounding resource (from the SOL.md op-count model) and, in each
-measurement pass, its probe for that resource runs IMMEDIATELY ADJACENT to
-the metric.  BENCH_DETAIL then carries, per metric:
-  *_ms             best wall-clock over the interleaved passes
-  *_share          adjacent-probe rate / v5e spec rate (same pass as *_ms)
-  *_normalized_ms  ms * share  — the share-adjusted estimate of what this
-                   executable would measure on an unshared v5e
-  *_sol_ms         the SOL.md CORRECTED vector-pass model at spec (band
-                   midpoints from "Model vs measured"; the retracted
-                   ALU-peak bounds are kept in SOL.md only)
-  *_sol_residual   normalized_ms / sol_ms  (1.0 = kernel achieves its model)
-Probes: bf16 MXU matmul, int8 MXU matmul, a VMEM-resident f32 fma chain
-(VPU), an HBM-streaming elementwise pass, and a device->host transfer of a
-FRESHLY COMPUTED jit output (the round-3 probe read a host-cached jnp.ones
-constant and reported a fantasy 1000 GB/s; see hw_d2h below for the
-cross-check protocol).
+Share normalization (round 4, hardened round 5): this dev chip is
+time-shared with 5-10x share swings on a minutes scale, so absolute ms mean
+little.  Every metric declares its bounding resource (from the SOL.md
+op-count model) and, in each measurement pass, its probe for that resource
+runs immediately BEFORE and AFTER the metric; the pass share is the mean of
+the two and the pass normalized time is ms * share.  BENCH_DETAIL carries,
+per metric:
+  *_ms             best wall-clock over the passes
+  *_share          median pass share (adjacent probe rate / v5e spec rate)
+  *_share_spread   max/min pass share — >2 means the share swung during
+                   this row and the normalized number is low-confidence
+  *_normalized_ms  median over passes of (pass ms * pass share)
+  *_sol_ms         the SOL.md corrected vector-pass model at spec
+  *_sol_residual   normalized_ms / sol_ms  (1.0 = kernel achieves model)
+Shares above 1.05 are FLAGGED (``share_flags``) and clamped to 1.0 in the
+normalization — a probe beating spec means the probe (or the spec entry)
+is wrong, not the chip (round-4 weakness: hw_bf16 read 264.8 TFLOPs on a
+197-TFLOP part; the probes now use random data and median-of-3 windows).
 
-Real scenes (round 4): detect and detectAndCompute also run on scenes tiled
-from the committed real fixtures (tests/data/real_montage.png — real
-photographic/sensor statistics, tools/make_fixtures.py), alongside the
-synthetic box-montage rows.  The reference's baselines average 11 real
-SceauxCastle photos (README.md:46-50), so the *_real rows are the honest
-comparison; keypoint spatial distribution drives the window-kernel DMA
-group count (round-3 finding), which synthetic scenes understate.
+Real scenes: detect and detectAndCompute also run on scenes tiled from the
+committed real fixtures (tests/data/real_montage.png — real photographic
+statistics, tools/make_fixtures.py); the reference's baselines average 11
+real SceauxCastle photos (README.md:46-50).  Round-4 finding: real rows
+measure equal to synthetic within noise (recorded in decisions).
 """
 import json
 import os
@@ -51,6 +64,9 @@ import numpy as np
 # v5e public spec peaks (SOL.md): bf16 MXU, int8 MXU, HBM stream; the VPU
 # figure is an ESTIMATE (8 sublanes x 128 lanes x ~4 ALUs x ~0.94 GHz)
 SPEC = {"mxu_bf16": 197e12, "mxu_int8": 394e12, "vpu": 4e12, "hbm": 819e9}
+
+HEADLINE_KEY = "detect_and_compute_4k_40k_bad_256"
+HEADLINE_BASELINE_MS = 7.2
 
 
 def make_bench_image(h, w, seed=0):
@@ -84,52 +100,22 @@ def make_real_scene(h, w):
     return np.ascontiguousarray(np.tile(base, reps)[:h, :w])
 
 
-def main():
+def build_probes():
+    """Per-resource hardware probes: name -> (fn, work_per_call).
+
+    Random (not constant) operands, so no backend fast path can flatter a
+    rate; each probe is sized so its resource (not the fixed round-trip
+    tax or HBM) bounds the window.
+    """
     import jax
-
-    # persistent compile cache: the bench compiles ~10 large pipeline
-    # signatures (minutes each on the tunneled dev toolchain); cached
-    # executables make repeat runs start in seconds.  Keyed by backend
-    # platform (shared scheme with __graft_entry__._enable_compile_cache).
-    here = os.path.dirname(os.path.abspath(__file__))
-    from efficient_features_tpu.utils import compile_cache
-    compile_cache.setup(os.path.join(here, ".xla_cache"),
-                        jax.default_backend())
-
     import jax.numpy as jnp
-    from efficient_features_tpu import pipeline as P
 
-    def read(out):
-        # Force completion with a host round trip (block_until_ready returns
-        # early under axon) — but transfer ONE element, not the whole leaf:
-        # bulk d2h rides a ~MB/s tunnel and must never sit inside a timing
-        # window (round-3.5 correction).
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
-
-    def time_once(fn, iters):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn()
-        read(out)
-        return (time.perf_counter() - t0) * 1e3 / iters
-
-    detail = {"backend": jax.default_backend(),
-              "device": str(jax.devices()[0]),
-              "spec": {k: v for k, v in SPEC.items()},
-              "spec_note": "v5e public peaks; vpu is an ESTIMATE (SOL.md)"}
-
-    # ------------------------------------------------------------------
-    # Hardware probes — one per bounding resource.  work = ops (or bytes)
-    # per call; rate = work / adjacent_ms.  Iteration counts are calibrated
-    # once at warmup to a ~250 ms window so the fixed ~25 ms round-trip tax
-    # stays <~10% at any share.
-    # ------------------------------------------------------------------
-    pa = jnp.ones((4096, 4096), jnp.bfloat16)
+    rng = np.random.default_rng(7)
+    pa = jnp.asarray(rng.standard_normal((4096, 4096)), jnp.bfloat16)
     p_mm = jax.jit(lambda a: jnp.dot(a, a, preferred_element_type=jnp.float32))
-    pi = jnp.ones((2048, 2048), jnp.int8)
+    pi = jnp.asarray(rng.integers(-3, 4, (2048, 2048)), jnp.int8)
     p_i8 = jax.jit(lambda a: jnp.dot(a, a, preferred_element_type=jnp.int32))
-    pv = jnp.full((256, 512), 0.999999, jnp.float32)
+    pv = jnp.asarray(rng.uniform(0.9, 1.1, (256, 512)), jnp.float32)
 
     @jax.jit
     def p_vpu(x):
@@ -142,7 +128,7 @@ def main():
             return a
         return jax.lax.fori_loop(0, 128, body, x)
 
-    ph = jnp.ones((4096, 4096), jnp.float32)
+    ph = jnp.asarray(rng.standard_normal((4096, 4096)), jnp.float32)
     p_hbm = jax.jit(lambda x: x * np.float32(1.000001) + np.float32(0.001))
 
     # stencil probe: unaligned lane-slice + add chain on a kernel-shaped
@@ -151,7 +137,7 @@ def main():
     # run ~2.5-3x slower per element than fma chains and ~10-20x below the
     # ALU-peak VPU estimate, which is where the old SOL's 50x residual
     # lived).  work = slice+add per step = 2 vector ops x 16 steps.
-    pst = jnp.arange(176 * 1408, dtype=jnp.int32).reshape(176, 1408)
+    pst = jnp.asarray(rng.integers(0, 255, (176, 1408)), jnp.int32)
 
     @jax.jit
     def p_stencil(x):
@@ -160,7 +146,7 @@ def main():
             acc = acc + jax.lax.slice(x, (0, d), (176, 1280 + d))
         return acc
 
-    probes = {
+    return {
         "mxu_bf16": (lambda: p_mm(pa), 2 * 4096 ** 3),
         "mxu_int8": (lambda: p_i8(pi), 2 * 2048 ** 3),
         "vpu": (lambda: p_vpu(pv), 2.0 * 16 * 128 * 256 * 512),
@@ -171,39 +157,76 @@ def main():
     # capability (Gvecop/s) for the SOL.md model and never normalizes a
     # metric (no metric declares it as bound, so SPEC needs no entry)
 
+
+def build_metrics():
+    """The full metric registry, in measurement-priority order.
+
+    Returns (metrics, ctx).  Each metric is a dict:
+      key       row name in BENCH_DETAIL
+      fn        zero-arg callable dispatching one iteration
+      iters     dispatches per timing window (>=8 per the tax protocol,
+                except noted heavyweights)
+      baseline  reference RTX 3060 Ti ms (None = no reference row)
+      bound     probe name measured adjacent to this metric
+      sol       SOL.md corrected model ms at v5e spec (None = unmodeled)
+      optional  True rows are skipped first under the time budget
+      decision  key into the decisions dict that controls this row's
+                shipped default (A/B rows only; round-4 Weak #6)
+    """
+    import jax.numpy as jnp
+    from efficient_features_tpu import pipeline as P
+    from efficient_features_tpu.ops import window_kernels as WKm
+    from efficient_features_tpu.ops import pallas_kernels as PKm
+    from efficient_features_tpu.ops import matcher as Mm
+    from efficient_features_tpu.parallel import sharding as SHm
+    from samples.sample_image_sequence import streaming_step_fn
+
     sizes = {"fhd": (1080, 1920), "4k": (2160, 3840), "8k": (4320, 7680)}
     images = {k: jnp.asarray(make_bench_image(*hw)) for k, hw in sizes.items()}
     real_images = {k: jnp.asarray(make_real_scene(*hw))
                    for k, hw in sizes.items()}
+    img4k = images["4k"]
+    h, w = sizes["4k"]
 
-    # ------------------------------------------------------------------
-    # Metric registry: (key, fn, iters, baseline_ms, bound, sol_ms).
-    # bound names the probe measured adjacent to this metric each pass;
-    # sol_ms is the SOL.md op-count model at v5e spec (None = not modeled).
-    # ------------------------------------------------------------------
+    def M(key, fn, iters, baseline, bound, sol, optional=False,
+          decision=None):
+        return dict(key=key, fn=fn, iters=iters, baseline=baseline,
+                    bound=bound, sol=sol, optional=optional,
+                    decision=decision)
+
     metrics = []
 
-    # detect-only, 10k keypoints (README.md:52-55 protocol), synthetic + real
+    # ------------------------------------------------------------------
+    # HEADLINE first (printed the moment it is measured):
+    # detectAndCompute, 40k keypoints, 4K, BAD-256 (README.md:66-71)
+    # ------------------------------------------------------------------
+    dac_cfgs = {dt: P.FeatureConfig(nfeatures=40000, descriptor_type=dt)
+                for dt in ("bad_256", "bad_512", "hash_sift_256",
+                           "hash_sift_512")}
+    baselines_dac = {"bad_256": (7.2, 44.0), "bad_512": (8.2, 47.0),
+                     "hash_sift_256": (8.5, 50.0), "hash_sift_512": (8.9, 51.0)}
+    metrics.append(M(
+        HEADLINE_KEY,
+        lambda: P.detect_and_compute_jit(img4k, dac_cfgs["bad_256"]),
+        8, 7.2, "vpu", 44.0))
+
+    # ------------------------------------------------------------------
+    # Core reference-protocol rows
+    # ------------------------------------------------------------------
+    # detect-only, 10k keypoints (README.md:52-55 protocol)
     det_cfg = P.FeatureConfig(nfeatures=10000, descriptor_type="bad_256")
     baselines_detect = {"fhd": 1.6, "4k": 2.9, "8k": 5.5}
-    # sol values here are the CORRECTED vector-pass model band midpoints at
+    # sol values are the CORRECTED vector-pass model band midpoints at
     # spec (SOL.md "Model vs measured", post round-4 pass cuts); the
     # retracted ALU-peak bounds (0.1/0.4/1.6 etc.) live in SOL.md only.
     sol_detect = {"fhd": 7.0, "4k": 18.0, "8k": 62.0}
     for k, img in images.items():
-        metrics.append((f"detect_{k}",
-                        lambda img=img: P.detect_jit(img, det_cfg),
-                        32 if k != "8k" else 16, baselines_detect[k],
-                        "vpu", sol_detect[k]))
-    for k, img in real_images.items():
-        metrics.append((f"detect_{k}_real",
-                        lambda img=img: P.detect_jit(img, det_cfg),
-                        32 if k != "8k" else 16, baselines_detect[k],
-                        "vpu", sol_detect[k]))
+        metrics.append(M(f"detect_{k}",
+                         lambda img=img: P.detect_jit(img, det_cfg),
+                         32 if k != "8k" else 16, baselines_detect[k],
+                         "vpu", sol_detect[k]))
 
     # compute-only: 40k fixed keypoints on the 4K image (README.md:58-63)
-    img4k = images["4k"]
-    h, w = sizes["4k"]
     rng = np.random.default_rng(1)
     n = 40960
     kps = np.zeros((n, 4), np.float32)
@@ -222,17 +245,44 @@ def main():
         ("hash_sift", 256): (3.5, "mxu_bf16", 32.0),
         ("hash_sift", 512): (3.9, "mxu_bf16", 33.0)}
     for (kind, bits), (base, bound, sol) in baselines_compute.items():
-        metrics.append((
+        metrics.append(M(
             f"compute40k_{kind}{bits}",
             lambda kind=kind, bits=bits:
                 P.compute_jit(img4k, kps_j, valid, bits, kind, 1.0, True),
             8, base, bound, sol))
 
+    # remaining detectAndCompute descriptors
+    for dt in ("bad_512", "hash_sift_256", "hash_sift_512"):
+        base, sol = baselines_dac[dt]
+        bound = "mxu_bf16" if dt.startswith("hash_sift") else "vpu"
+        metrics.append(M(
+            f"detect_and_compute_4k_40k_{dt}",
+            lambda dt=dt: P.detect_and_compute_jit(img4k, dac_cfgs[dt]),
+            8, base, bound, sol))
+
+    # ------------------------------------------------------------------
+    # Secondary rows: real scenes, detected keypoints, masked, streaming,
+    # batch throughput scaling, fused matcher
+    # ------------------------------------------------------------------
+    for k, img in real_images.items():
+        metrics.append(M(f"detect_{k}_real",
+                         lambda img=img: P.detect_jit(img, det_cfg),
+                         32 if k != "8k" else 16, baselines_detect[k],
+                         "vpu", sol_detect[k]))
+    for dt in ("bad_256", "hash_sift_256"):
+        base, sol = baselines_dac[dt]
+        bound = "mxu_bf16" if dt.startswith("hash_sift") else "vpu"
+        metrics.append(M(
+            f"detect_and_compute_4k_40k_{dt}_real",
+            lambda dt=dt: P.detect_and_compute_jit(real_images["4k"],
+                                                   dac_cfgs[dt]),
+            8, base, bound, sol))
+
     # compute-only on DETECTOR keypoints (the reference's compute protocol,
-    # sample_benchmark.cpp:125-133): multi-octave sizes (31..111 at 8 levels)
-    # through the octave-bucketed window kernels — on the synthetic AND the
-    # real scene (keypoint spatial distribution drives the DMA group count)
-    from efficient_features_tpu.ops import window_kernels as WKm
+    # sample_benchmark.cpp:125-133): multi-octave sizes (31..111 at 8
+    # levels) through the octave-bucketed window kernels — on the synthetic
+    # AND the real scene (keypoint spatial distribution drives the DMA
+    # group count)
     det40 = P.FeatureConfig(nfeatures=40000, descriptor_type="bad_256")
     br40 = tuple(
         (a, b, (WKm.bucket_scale(sz / 32.0)
@@ -245,272 +295,160 @@ def main():
         valid40 = slots40["valid"]
         for kind, base, bound, sol in (("bad", 1.5, "vpu", 25.0),
                                        ("hash_sift", 3.5, "mxu_bf16", 32.0)):
-            metrics.append((
+            metrics.append(M(
                 f"compute40k_detected_{kind}256{tag}",
                 lambda src=src, kp40=kp40, valid40=valid40, kind=kind:
                     P.compute_bucketed_jit(src, kp40, valid40, 256, kind,
                                            1.0, br40),
                 8, base, bound, sol))
 
+    # masked detect (round-2 verdict: the masked path must not cliff)
+    mask4k = jnp.asarray(np.ones(sizes["4k"], np.uint8))
+    metrics.append(M("detect_4k_masked",
+                     lambda: P.detect_masked_jit(img4k, mask4k, det_cfg),
+                     24, None, "vpu", None))
+
+    # steady-state streaming frame time (donated buffers; the reference's
+    # DeviceBuffer reuse analogue) on FHD detect+compute+match
+    step, _state = streaming_step_fn(P.FeatureConfig(
+        nfeatures=4000, descriptor_type="bad_256"), sizes["fhd"])
+    frame = images["fhd"]
+    metrics.append(M("streaming_fhd_frame", lambda: step(frame), 32, None,
+                     "vpu", None))
+
+    # batched throughput scaling (round-4 verdict #6): frames inside ONE
+    # executable (lax.map on a single-device mesh) — per-frame cost
+    # amortizes dispatch overhead; the TPU's honest win is throughput, so
+    # record the frames/s curve vs the RTX single-stream baseline
+    bmesh = SHm.make_mesh(1)
+    bcfg = P.FeatureConfig(nfeatures=4000, descriptor_type="bad_256")
+    for nb in (4, 8, 16):
+        batch = jnp.stack([images["fhd"]] * nb)
+        metrics.append(M(
+            f"batch{nb}_fhd",
+            lambda batch=batch: SHm.detect_and_compute_batch(batch, bcfg,
+                                                             bmesh),
+            8, None, "vpu", None))
+    bcfg4k = P.FeatureConfig(nfeatures=10000, descriptor_type="bad_256")
+    for nb in (4, 8):
+        batch = jnp.stack([images["4k"]] * nb)
+        metrics.append(M(
+            f"batch{nb}_4k",
+            lambda batch=batch: SHm.detect_and_compute_batch(batch, bcfg4k,
+                                                             bmesh),
+            8, None, "vpu", None))
+
+    # streaming fused Pallas matcher (the shipped TPU default; the dense
+    # XLA A/B row is optional, below)
+    rngm = np.random.default_rng(11)
+    dm1 = jnp.asarray(rngm.integers(0, 256, (16384, 64), dtype=np.uint8))
+    dm2 = jnp.asarray(rngm.integers(0, 256, (16384, 64), dtype=np.uint8))
+    metrics.append(M("match16k_512_fused",
+                     lambda: Mm.knn2_ratio_match_fused(dm1, dm2, 0.8), 8,
+                     None, "mxu_bf16", 3.4,
+                     decision="fused_matcher"))
+
+    # ------------------------------------------------------------------
+    # Optional rows (skipped first under the time budget): A/Bs whose
+    # decisions are already recorded, plus heavyweight matcher scale rows
+    # ------------------------------------------------------------------
     # A/B: BAD kernel formulations on the same synthetic 40k size-31
     # keypoints — "roll" (round-2/3 per-keypoint window rotation), "noroll"
     # (round-4: per-DMA int8 cache + one-hot column compaction + XLA-side
     # trig), "pair" (round-5 default: two keypoints block-diagonal in one
     # full-MXU-tile box matmul).
     kx, ky, ksz, kang = (kps_j[:, 0], kps_j[:, 1], kps_j[:, 2], kps_j[:, 3])
-    for form in ("noroll", "roll", "pair"):
-        metrics.append((
+    for form in ("pair", "noroll", "roll"):
+        metrics.append(M(
             f"compute40k_bad256_{form}",
             lambda form=form: WKm.bad_descriptors_windows(
                 img4k, kx, ky, ksz, kang, valid, 256, 1.0,
                 WKm._S_BASE, "group", formulation=form),
-            8, None, "vpu", None))
+            8, None, "vpu", None, optional=True,
+            decision="bad_formulation"))
 
     # A/B: fused HashSIFT kernel vs the two-stage path (patch kernel
     # + XLA histogram); the default compute row uses the two-stage path
     import jax as _jax
+    from efficient_features_tpu import pipeline as _P
 
     @_jax.jit
     def hs_fused(img, kp, v):
         d = WKm.hs_desc_windows(img, kp[:, 0], kp[:, 1], kp[:, 2],
                                 kp[:, 3], v, 1.0)
-        return P._hs_from_fused(d, v, 256)
+        return _P._hs_from_fused(d, v, 256)
 
     @_jax.jit
     def hs_unfused(img, kp, v):
         patches = WKm.warp_patches_windows(img, kp[:, 0], kp[:, 1],
                                            kp[:, 2], kp[:, 3], v, 1.0)
-        return P._hs_from_patches(patches, v, 256)
+        return _P._hs_from_patches(patches, v, 256)
 
-    metrics.append(("compute40k_hs256_fused",
-                    lambda: hs_fused(img4k, kps_j, valid), 8, None,
-                    "mxu_bf16", None))
-    metrics.append(("compute40k_hs256_unfused",
-                    lambda: hs_unfused(img4k, kps_j, valid), 8, None,
-                    "mxu_bf16", 32.0))
+    metrics.append(M("compute40k_hs256_fused",
+                     lambda: hs_fused(img4k, kps_j, valid), 8, None,
+                     "mxu_bf16", None, optional=True,
+                     decision="hs_fused_kernel"))
+    metrics.append(M("compute40k_hs256_unfused",
+                     lambda: hs_unfused(img4k, kps_j, valid), 8, None,
+                     "mxu_bf16", 32.0, optional=True,
+                     decision="hs_fused_kernel"))
 
     # A/B: warp kernel body (round-8) — "select": full-height (128, npx)
     # row-index wheres; "split": per-half (64, npx) builds with hoisted
     # pair-invariant iotas.  Bit-identical; the standalone warp is ~70% of
     # the HS pipeline (round-3.5 honest split: warp 26.8 of 46.6).
     for wbody in ("select", "split"):
-        metrics.append((
+        metrics.append(M(
             f"warp40k_{wbody}",
             lambda wbody=wbody: WKm.warp_patches_windows(
                 img4k, kx, ky, ksz, kang, valid, 1.0, body_kind=wbody),
-            8, None, "vpu", None))
+            8, None, "vpu", None, optional=True,
+            decision="warp_body"))
 
-    # masked detect (round-2 verdict: the masked path must not cliff)
-    mask4k = jnp.asarray(np.ones(sizes["4k"], np.uint8))
-    metrics.append(("detect_4k_masked",
-                    lambda: P.detect_masked_jit(img4k, mask4k, det_cfg),
-                    24, None, "vpu", None))
-
-    # A/B: cells-kernel column halo 64 (round-4 default) vs 128 (rounds 1-3)
-    # on the 8K level-0 image — the kernel is ~85% of detect DMA traffic;
-    # halo 64 cuts window bytes ~11% bit-identically
-    from efficient_features_tpu.ops import pallas_kernels as PKm
+    # A/B: cells-kernel column halo 64 (round-4 default) vs 128 (rounds
+    # 1-3) on the 8K level-0 image — also the SANITY PAIR for share
+    # normalization (two near-equal kernels must normalize within ~1.3x)
     img8k = images["8k"]
     for hx in (None, 128):
-        metrics.append((
+        metrics.append(M(
             f"cells_8k_halo{hx or 64}",
             lambda hx=hx: PKm.fast_harris_nms_cells(img8k, 20, 15, None, hx),
-            16, None, "hbm", None))
+            16, None, "hbm", None, optional=True, decision="cells_halo"))
 
     # A/B: Pallas tiled MXU resize vs XLA-gather pyramid (detect 4K/8K)
     for k in ("4k", "8k"):
         cfgp = P.FeatureConfig(nfeatures=10000, descriptor_type="bad_256",
                                pallas_resize=True)
-        metrics.append((
+        metrics.append(M(
             f"detect_{k}_pallas_resize",
             lambda img=images[k], cfgp=cfgp: P.detect_jit(img, cfgp),
-            10, None, "hbm", None))
+            10, None, "hbm", None, optional=True, decision="pallas_resize"))
 
-    # detectAndCompute, 40k keypoints, 4K, all four descriptors
-    # (README.md:66-71); BAD-256 is the headline metric.  Real-scene rows
-    # for the headline pair (the baselines ARE real-photo averages).
-    baselines_dac = {"bad_256": (7.2, 44.0), "bad_512": (8.2, 47.0),
-                     "hash_sift_256": (8.5, 50.0), "hash_sift_512": (8.9, 51.0)}
-    for dt, (base, sol) in baselines_dac.items():
-        dac_cfg = P.FeatureConfig(nfeatures=40000, descriptor_type=dt)
-        bound = "mxu_bf16" if dt.startswith("hash_sift") else "vpu"
-        metrics.append((
-            f"detect_and_compute_4k_40k_{dt}",
-            lambda dac_cfg=dac_cfg: P.detect_and_compute_jit(img4k, dac_cfg),
-            8, base, bound, sol))
-    for dt in ("bad_256", "hash_sift_256"):
-        base, sol = baselines_dac[dt]
-        dac_cfg = P.FeatureConfig(nfeatures=40000, descriptor_type=dt)
-        bound = "mxu_bf16" if dt.startswith("hash_sift") else "vpu"
-        metrics.append((
-            f"detect_and_compute_4k_40k_{dt}_real",
-            lambda dac_cfg=dac_cfg: P.detect_and_compute_jit(
-                real_images["4k"], dac_cfg),
-            8, base, bound, sol))
-
-    # A/B: streaming fused Pallas matcher vs the XLA dense-matrix path
-    # (sample_feature_matching / sample_image_sequence analogue at scale).
-    # The XLA path is HBM-bound on the (N, N) i32 distance matrix (1 GB at
-    # 16k x 16k x 512-bit, re-read 3x by argmin/top_k); the fused kernel
-    # keeps the running top-2 in VMEM and is MXU-bound (2x +-1 GEMM for the
-    # cross check).  40k x 40k is fused-only: the dense matrix would be
-    # 6.4 GB.  Outputs are bit-identical (tests/test_matcher.py).
-    from efficient_features_tpu.ops import matcher as Mm
-    rngm = np.random.default_rng(11)
-    dm1 = jnp.asarray(rngm.integers(0, 256, (16384, 64), dtype=np.uint8))
-    dm2 = jnp.asarray(rngm.integers(0, 256, (16384, 64), dtype=np.uint8))
-    metrics.append(("match16k_512_xla",
-                    lambda: Mm.knn2_ratio_match(dm1, dm2, 0.8, fused=False),
-                    8, None, "hbm", None))
-    metrics.append(("match16k_512_fused",
-                    lambda: Mm.knn2_ratio_match_fused(dm1, dm2, 0.8), 8,
-                    None, "mxu_bf16", 3.4))
+    # A/B: dense XLA matcher (HBM-bound on the (N, N) i32 distance matrix,
+    # ~1 GB at 16k x 16k x 512-bit re-read 3x) vs the fused default above;
+    # 40k x 40k is fused-only (the dense matrix would be 6.4 GB)
+    metrics.append(M("match16k_512_xla",
+                     lambda: Mm.knn2_ratio_match(dm1, dm2, 0.8, fused=False),
+                     8, None, "hbm", None, optional=True,
+                     decision="fused_matcher"))
     dm3 = jnp.asarray(rngm.integers(0, 256, (40960, 64), dtype=np.uint8))
     dm4 = jnp.asarray(rngm.integers(0, 256, (40960, 64), dtype=np.uint8))
-    metrics.append(("match40k_512_fused",
-                    lambda: Mm.knn2_ratio_match_fused(dm3, dm4, 0.8), 4,
-                    None, "mxu_bf16", 21.5))
+    metrics.append(M("match40k_512_fused",
+                     lambda: Mm.knn2_ratio_match_fused(dm3, dm4, 0.8), 8,
+                     None, "mxu_bf16", 21.5, optional=True,
+                     decision="fused_matcher"))
 
-    # steady-state streaming frame time (donated buffers; the reference's
-    # DeviceBuffer reuse analogue) on FHD detect+compute+match
-    from samples.sample_image_sequence import streaming_step_fn
-    step, _state = streaming_step_fn(P.FeatureConfig(
-        nfeatures=4000, descriptor_type="bad_256"), sizes["fhd"])
-    frame = images["fhd"]
-    metrics.append(("streaming_fhd_frame", lambda: step(frame), 32, None,
-                    "vpu", None))
+    return metrics
 
-    # batched throughput: 4 FHD frames inside ONE executable (lax.map on a
-    # single-device mesh) — per-frame cost amortizes dispatch overhead
-    from efficient_features_tpu.parallel import sharding as SHm
-    bmesh = SHm.make_mesh(1)
-    bcfg = P.FeatureConfig(nfeatures=4000, descriptor_type="bad_256")
-    batch4 = jnp.stack([images["fhd"]] * 4)
-    metrics.append(("batch4_fhd",
-                    lambda: SHm.detect_and_compute_batch(batch4, bcfg, bmesh),
-                    8, None, "vpu", None))
 
-    # ------------------------------------------------------------------
-    # Warmup (compile everything), probe-iteration calibration, then three
-    # interleaved passes.  Each pass measures, for every metric, its
-    # bounding probe IMMEDIATELY before the metric — the adjacent pair is
-    # what normalizes away this chip's minutes-scale share swings.
-    # ------------------------------------------------------------------
-    for _, fn, _, _, _, _ in metrics:
-        read(fn())
-
-    # the fixed per-window host round-trip tax (one-element read through the
-    # tunnel): measured directly on a trivial cached executable, subtracted
-    # from probe windows so probe RATES are honest at any share.  Metric
-    # rows keep the tax (comparable with earlier rounds; 8-32 iters keep it
-    # <~15%).
-    tiny = jax.jit(lambda x: x + 1)
-    read(tiny(jnp.float32(0)))
-    tax_ms = min(time_once(lambda: tiny(jnp.float32(0)), 1) for _ in range(3))
-    detail["read_tax_ms"] = round(tax_ms, 2)
-
-    probe_iters = {}
-    for name, (fn, _work) in probes.items():
-        read(fn())
-        t4 = time_once(fn, 4)
-        t_est = max(t4 - tax_ms / 4, 0.05)     # net per-iter estimate
-        probe_iters[name] = int(min(max(8, 250.0 / t_est), 256))
-
-    def probe_rate(name):
-        """ops-or-bytes/s for one adjacent probe window, tax-corrected."""
-        fn, work = probes[name]
-        iters = probe_iters[name]
-        pms = time_once(fn, iters)
-        net = max(pms - tax_ms / iters, 1e-3)
-        return net, work / (net / 1e3)
-
-    best = {key: float("inf") for key, *_ in metrics}
-    adj_share = {}        # probe share recorded in the best pass
-    probe_best = {name: float("inf") for name in probes}
-    for _pass in range(3):
-        # one standalone sweep of EVERY probe per pass, so the hw context is
-        # populated even for resources no metric is bound by (round-4 fix:
-        # hw_int8 reported 0.0 because no metric declared the int8 bound and
-        # the probe never ran inside a pass)
-        for name in probes:
-            pms, _rate = probe_rate(name)
-            probe_best[name] = min(probe_best[name], pms)
-        for key, fn, iters, _base, bound, _sol in metrics:
-            share = None
-            if bound is not None:
-                pms, rate = probe_rate(bound)
-                probe_best[bound] = min(probe_best[bound], pms)
-                share = rate / SPEC[bound]
-            ms = time_once(fn, iters)
-            if ms < best[key]:
-                best[key] = ms
-                if share is not None:
-                    adj_share[key] = share
-
-    # hardware context: best probe rates over the whole run
-    detail["hw_bf16_tflops"] = round(
-        probes["mxu_bf16"][1] / (probe_best["mxu_bf16"] / 1e3) / 1e12, 2)
-    detail["hw_int8_tops"] = round(
-        probes["mxu_int8"][1] / (probe_best["mxu_int8"] / 1e3) / 1e12, 2)
-    detail["hw_vpu_tops"] = round(
-        probes["vpu"][1] / (probe_best["vpu"] / 1e3) / 1e12, 3)
-    detail["hw_hbm_gbps"] = round(
-        probes["hbm"][1] / (probe_best["hbm"] / 1e3) / 1e9, 1)
-    # measured stencil capability (no spec peak): full-tile vector ops/s on
-    # kernel-shaped unaligned slices — the unit of the SOL.md detect model
-    detail["hw_vpu_stencil_gvecops"] = round(
-        probes["vpu_stencil"][1] / (probe_best["vpu_stencil"] / 1e3) / 1e9, 1)
-
-    # device->host tunnel rate, measured honestly (round-4 fix): transfer a
-    # FRESHLY COMPUTED 1 MB jit output (a constant-folded jnp.ones reads
-    # back from a host-side cache at fantasy rates — the round-3 probe
-    # recorded ~1000 GB/s while bulk fetches measurably ran at MB/s), and
-    # cross-check with a second fetch of the SAME buffer (a large ratio
-    # second/first exposes host-side caching of the first).
-    d2h_src = jnp.arange(512 * 512, dtype=jnp.float32).reshape(512, 512)
-    d2h_fn = jax.jit(lambda x, s: x * (np.float32(1.0) + s) + s)
-    d2h_rates = []
-    for p in range(2):
-        buf = d2h_fn(d2h_src, jnp.float32(p * 1e-6))
-        read(buf)                      # complete compute before timing d2h
-        t0 = time.perf_counter()
-        a = np.asarray(jax.device_get(buf))
-        dt1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        np.asarray(jax.device_get(buf))
-        dt2 = time.perf_counter() - t0
-        # a recheck rate far above the first fetch exposes host-side
-        # caching of the buffer (the round-3 probe's failure mode)
-        d2h_rates.append((a.nbytes / dt1 / 1e9, a.nbytes / max(dt2, 1e-9) / 1e9))
-    detail["hw_d2h_gbps"] = round(max(r[0] for r in d2h_rates), 4)
-    detail["hw_d2h_recheck_gbps"] = round(max(r[1] for r in d2h_rates), 4)
-
-    for key, _fn, _iters, base, bound, sol in metrics:
-        detail[f"{key}_ms"] = round(best[key], 2)
-        if base is not None:
-            detail[f"{key}_vs_rtx3060ti"] = round(base / best[key], 4)
-        share = adj_share.get(key)
-        if share is not None:
-            detail[f"{key}_share"] = round(share, 4)
-            norm = best[key] * share
-            detail[f"{key}_normalized_ms"] = round(norm, 3)
-            if sol is not None:
-                detail[f"{key}_sol_ms"] = sol
-                detail[f"{key}_sol_residual"] = round(norm / sol, 2)
-    if "batch4_fhd_ms" in detail:
-        detail["batch4_fhd_per_frame_ms"] = round(detail["batch4_fhd_ms"] / 4,
-                                                  2)
-
-    # attach the stage profile (tools/profile_stages.py) and the A/B
-    # decisions so the context travels with every bench record
-    prof = os.path.join(here, "tools", "STAGE_PROFILE.json")
-    if os.path.exists(prof):
-        with open(prof) as f:
-            detail["stage_profile"] = json.load(f)
-        detail["stage_profile"].setdefault("note", (
-            "2-3 iteration protocol: rows carry ~8-12 ms of fixed "
-            "round-trip tax — use comparatively, not absolutely"))
-    detail["decisions"] = {
+def decisions_dict():
+    """A/B decisions and protocol notes that travel with every bench
+    record.  A/B metric rows reference these via their ``decision`` field
+    (BENCH_DETAIL ``*_decision_ref`` columns) — single-session A/B rows
+    can contradict the shipped default when the share swings between rows;
+    the referenced decision names the controlling interleaved A/B and its
+    hardware context (round-4 verdict Weak #6)."""
+    return {
         "hs_fused_kernel": "off by A/B, twice (round-3 rewrite samples the "
         "patch once, one-matmul exact gradients + per-block M=8 constant "
         "matmuls: 54.5 vs 44.1 ms at 40k; in-kernel constant matmuls are "
@@ -521,9 +459,15 @@ def main():
         "bad_window_dma": "one DMA per distinct window (group) kept; "
         "per-program re-DMA measured equal within noise — r2 'regression' "
         "was share swing",
-        "bad_formulation": "round 5 on-chip A/B: 'pair' default (40k sparse "
+        "bad_formulation": "round 5 on-chip interleaved A/B (healthy share, "
+        "30.5 TFLOPs / 54 GB/s context): 'pair' default (40k sparse "
         "pair/roll/noroll = 22.3/26.4/28.7 ms; 100k 49.4/55.4/56.4); "
-        "EFF_TPU_BAD_FORMULATION overrides",
+        "single-session bench rows can rank differently under share swing "
+        "— the interleaved A/B controls; EFF_TPU_BAD_FORMULATION overrides",
+        "warp_body": "round-9 on-chip A/B: select vs split TIE (24.63 vs "
+        "24.46 ms at 40k, min-of-3, 0 differing output bytes) — Mosaic "
+        "CSEs the pair-invariant builds; select stays default, "
+        "EFF_TPU_WARP_BODY=split is a tested opt-in",
         "pallas_resize": "XLA gather resize stays default (round-3 "
         "rectangular-tile pallas variant ties within noise: 22.3 vs 21.2 ms "
         "detect-4K, 65.0 vs 66.4 at 8K); round-4 healthy-share re-run "
@@ -554,11 +498,11 @@ def main():
         "persisted — same-machine cache reads intermittently segfault in "
         "get_executable_and_time (compile-option pseudo-features never "
         "match the loader's host probe); TPU cache unaffected",
-        "share_normalization": "round 4: per-metric bounding-resource "
-        "probes measured ADJACENT to each metric in every pass; "
-        "*_normalized_ms = ms * (adjacent probe rate / v5e spec) and "
-        "*_sol_residual reconcile measurement against the SOL.md op-count "
-        "model (see SOL.md 'model vs measured')",
+        "share_normalization": "round 5: per-metric bounding-resource "
+        "probes run immediately BEFORE and AFTER each metric in every "
+        "pass; pass share = mean of the two, *_normalized_ms = median over "
+        "passes of (pass ms * pass share), *_share_spread = max/min pass "
+        "share (>2 = low confidence), shares >1.05 flagged + clamped",
         "real_vs_synthetic": "round 4: real-scene rows (tiled committed "
         "fixtures) measure EQUAL to synthetic within noise at every size "
         "(detect 4K 20.4 vs 20.3; dAC-BAD256 50.8 vs 50.5; detected-kp "
@@ -581,22 +525,260 @@ def main():
         "SOL.md's corrected model closes the residual (detect-4K: ~430 "
         "vector ops/tile x 92 tiles matches the measured 16.9 ms cells "
         "stage)",
+        "bench_protocol": "round 5 (driver-proof rewrite after BENCH_r04 "
+        "rc=124): headline measured+printed FIRST; BENCH_DETAIL rewritten "
+        "atomically after every metric; EFF_TPU_BENCH_BUDGET_S wall budget "
+        "skips optional rows (A/Bs, dense matcher, pallas-resize) on slow "
+        "shares, recording them in 'skipped'; tools/warm_cache.py + the "
+        "committed .xla_cache/tpu keep the driver run compile-free",
     }
 
-    ms = best["detect_and_compute_4k_40k_bad_256"]
-    baseline_ms = 7.2
-    vs = baseline_ms / ms
 
-    with open("BENCH_DETAIL.json", "w") as f:
-        json.dump(detail, f, indent=2)
-    print(json.dumps(detail, indent=2), file=sys.stderr)
+def main():
+    import jax
 
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("EFF_TPU_BENCH_BUDGET_S", "420"))
+
+    # persistent compile cache: the bench compiles ~10 large pipeline
+    # signatures (minutes each on the tunneled dev toolchain); cached
+    # executables make repeat runs start in seconds.  Keyed by backend
+    # platform (shared scheme with __graft_entry__._enable_compile_cache).
+    here = os.path.dirname(os.path.abspath(__file__))
+    from efficient_features_tpu.utils import compile_cache
+    compile_cache.setup(os.path.join(here, ".xla_cache"),
+                        jax.default_backend())
+
+    import jax.numpy as jnp
+
+    def read(out):
+        # Force completion with a host round trip (block_until_ready returns
+        # early under axon) — but transfer ONE element, not the whole leaf:
+        # bulk d2h rides a ~MB/s tunnel and must never sit inside a timing
+        # window (round-3.5 correction).
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
+
+    def time_once(fn, iters):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        read(out)
+        return (time.perf_counter() - t0) * 1e3 / iters
+
+    detail = {"backend": jax.default_backend(),
+              "device": str(jax.devices()[0]),
+              "spec": {k: v for k, v in SPEC.items()},
+              "spec_note": "v5e public peaks; vpu is an ESTIMATE (SOL.md)",
+              "budget_s": budget_s,
+              "skipped": [],
+              "share_flags": {}}
+
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
+
+    def flush_detail():
+        """Atomic rewrite — a kill at any point preserves completed rows."""
+        tmp = detail_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(detail, f, indent=2)
+        os.replace(tmp, detail_path)
+
+    probes = build_probes()
+    metrics = build_metrics()
+
+    # the fixed per-window host round-trip tax (one-element read through the
+    # tunnel): measured directly on a trivial cached executable, subtracted
+    # from probe windows so probe RATES are honest at any share.  Metric
+    # rows keep the tax (comparable with earlier rounds; 8-32 iters keep it
+    # <~15%).
+    tiny = jax.jit(lambda x: x + 1)
+    read(tiny(jnp.float32(0)))
+    tax_ms = min(time_once(lambda: tiny(jnp.float32(0)), 1) for _ in range(3))
+    detail["read_tax_ms"] = round(tax_ms, 2)
+
+    # probe-iteration calibration to a ~250 ms window (tax <~10% any share)
+    probe_iters = {}
+    for name, (fn, _work) in probes.items():
+        read(fn())
+        t4 = time_once(fn, 4)
+        t_est = max(t4 - tax_ms / 4, 0.05)     # net per-iter estimate
+        probe_iters[name] = int(min(max(8, 250.0 / t_est), 256))
+
+    def probe_rate(name):
+        """ops-or-bytes/s for one adjacent probe window, tax-corrected,
+        median of 3 windows (round-5 probe-credibility fix)."""
+        fn, work = probes[name]
+        iters = probe_iters[name]
+        samples = []
+        for _ in range(3):
+            pms = time_once(fn, iters)
+            net = max(pms - tax_ms / iters, 1e-3)
+            samples.append((net, work / (net / 1e3)))
+        samples.sort()
+        return samples[1]
+
+    probe_best = {name: float("inf") for name in probes}
+
+    def measure_metric(m, passes=3):
+        """Warm (compile), then `passes` interleaved (probe, metric, probe)
+        windows.  Fills detail columns for this metric and flushes."""
+        key = m["key"]
+        read(m["fn"]())                      # warmup / compile
+        rows = []                            # (ms, share_lo_clamped, share)
+        for _ in range(passes):
+            share = None
+            if m["bound"] is not None:
+                pms, rate = probe_rate(m["bound"])
+                probe_best[m["bound"]] = min(probe_best[m["bound"]], pms)
+                share_pre = rate / SPEC[m["bound"]]
+            ms = time_once(m["fn"], m["iters"])
+            if m["bound"] is not None:
+                pms, rate = probe_rate(m["bound"])
+                probe_best[m["bound"]] = min(probe_best[m["bound"]], pms)
+                share = 0.5 * (share_pre + rate / SPEC[m["bound"]])
+            rows.append((ms, share))
+        best_ms = min(r[0] for r in rows)
+        detail[f"{key}_ms"] = round(best_ms, 2)
+        if m["baseline"] is not None:
+            detail[f"{key}_vs_rtx3060ti"] = round(m["baseline"] / best_ms, 4)
+        shares = [s for _, s in rows if s is not None]
+        if shares:
+            med_share = sorted(shares)[len(shares) // 2]
+            spread = max(shares) / max(min(shares), 1e-9)
+            detail[f"{key}_share"] = round(med_share, 4)
+            detail[f"{key}_share_spread"] = round(spread, 2)
+            if med_share > 1.05:
+                detail["share_flags"][key] = round(med_share, 4)
+            norms = sorted(ms * min(s, 1.0) for ms, s in rows
+                           if s is not None)
+            norm = norms[len(norms) // 2]
+            detail[f"{key}_normalized_ms"] = round(norm, 3)
+            if m["sol"] is not None:
+                detail[f"{key}_sol_ms"] = m["sol"]
+                detail[f"{key}_sol_residual"] = round(norm / m["sol"], 2)
+        if m["decision"] is not None:
+            detail[f"{key}_decision_ref"] = m["decision"]
+        flush_detail()
+        return best_ms
+
+    # ------------------------------------------------------------------
+    # HEADLINE first: measure, print the one-line JSON, flush stdout.
+    # ------------------------------------------------------------------
+    headline = metrics[0]
+    assert headline["key"] == HEADLINE_KEY
+    ms = measure_metric(headline)
     print(json.dumps({
         "metric": "detect_and_compute_4k_40k_bad256_ms",
         "value": round(ms, 3),
         "unit": "ms",
-        "vs_baseline": round(vs, 4),
-    }))
+        "vs_baseline": round(HEADLINE_BASELINE_MS / ms, 4),
+    }), flush=True)
+    headline_done = time.perf_counter()
+
+    # ------------------------------------------------------------------
+    # Remaining metrics under the wall budget (counted from the headline
+    # print; optional rows checked against a tighter fraction so required
+    # rows get the slack first).
+    # ------------------------------------------------------------------
+    def over_budget(optional):
+        used = time.perf_counter() - headline_done
+        return used > (budget_s * (0.8 if optional else 1.0))
+
+    for m in metrics[1:]:
+        if over_budget(m["optional"]):
+            detail["skipped"].append(m["key"])
+            flush_detail()
+            continue
+        try:
+            measure_metric(m)
+        except Exception as e:                      # noqa: BLE001
+            # one broken row must not cost the rest of the bench
+            detail["skipped"].append(m["key"])
+            detail.setdefault("errors", {})[m["key"]] = repr(e)[:300]
+            flush_detail()
+
+    # derived columns: per-frame batch costs + the throughput story
+    for nb in (4, 8, 16):
+        k = f"batch{nb}_fhd_ms"
+        if k in detail:
+            detail[f"batch{nb}_fhd_per_frame_ms"] = round(detail[k] / nb, 2)
+            detail[f"batch{nb}_fhd_fps"] = round(1000.0 * nb / detail[k], 1)
+    for nb in (4, 8):
+        k = f"batch{nb}_4k_ms"
+        if k in detail:
+            detail[f"batch{nb}_4k_per_frame_ms"] = round(detail[k] / nb, 2)
+            detail[f"batch{nb}_4k_fps"] = round(1000.0 * nb / detail[k], 1)
+
+    # sanity pair for share normalization (round-4 verdict Weak #3): two
+    # near-equal kernels must normalize within ~1.3x
+    a = detail.get("cells_8k_halo64_normalized_ms")
+    b = detail.get("cells_8k_halo128_normalized_ms")
+    if a and b:
+        detail["sanity_norm_ratio_cells_halo"] = round(max(a, b) / min(a, b),
+                                                       2)
+
+    # hardware context: best probe rates over the whole run
+    if probe_best["mxu_bf16"] < float("inf"):
+        detail["hw_bf16_tflops"] = round(
+            probes["mxu_bf16"][1] / (probe_best["mxu_bf16"] / 1e3) / 1e12, 2)
+    if probe_best["vpu"] < float("inf"):
+        detail["hw_vpu_tops"] = round(
+            probes["vpu"][1] / (probe_best["vpu"] / 1e3) / 1e12, 3)
+    if probe_best["hbm"] < float("inf"):
+        detail["hw_hbm_gbps"] = round(
+            probes["hbm"][1] / (probe_best["hbm"] / 1e3) / 1e9, 1)
+    # resources no metric is bound by still get one probe window for context
+    for name, hw_key, scale in (("mxu_int8", "hw_int8_tops", 1e12),
+                                ("vpu_stencil", "hw_vpu_stencil_gvecops",
+                                 1e9)):
+        if probe_best[name] == float("inf"):
+            pms, _rate = probe_rate(name)
+            probe_best[name] = pms
+        detail[hw_key] = round(
+            probes[name][1] / (probe_best[name] / 1e3) / scale,
+            3 if scale == 1e12 else 1)
+
+    # device->host tunnel rate, measured honestly (round-4 fix): transfer a
+    # FRESHLY COMPUTED 1 MB jit output (a constant-folded jnp.ones reads
+    # back from a host-side cache at fantasy rates — the round-3 probe
+    # recorded ~1000 GB/s while bulk fetches measurably ran at MB/s), and
+    # cross-check with a second fetch of the SAME buffer (a large ratio
+    # second/first exposes host-side caching of the first).
+    d2h_src = jnp.arange(512 * 512, dtype=jnp.float32).reshape(512, 512)
+    d2h_fn = jax.jit(lambda x, s: x * (np.float32(1.0) + s) + s)
+    d2h_rates = []
+    for p in range(2):
+        buf = d2h_fn(d2h_src, jnp.float32(p * 1e-6))
+        read(buf)                      # complete compute before timing d2h
+        t0 = time.perf_counter()
+        a = np.asarray(jax.device_get(buf))
+        dt1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(jax.device_get(buf))
+        dt2 = time.perf_counter() - t0
+        d2h_rates.append((a.nbytes / dt1 / 1e9,
+                          a.nbytes / max(dt2, 1e-9) / 1e9))
+    detail["hw_d2h_gbps"] = round(max(r[0] for r in d2h_rates), 4)
+    detail["hw_d2h_recheck_gbps"] = round(max(r[1] for r in d2h_rates), 4)
+
+    # attach the stage profile (tools/profile_stages.py), trace-derived
+    # per-kernel times (tools/parse_trace.py), and the A/B decisions so the
+    # context travels with every bench record
+    prof = os.path.join(here, "tools", "STAGE_PROFILE.json")
+    if os.path.exists(prof):
+        with open(prof) as f:
+            detail["stage_profile"] = json.load(f)
+        detail["stage_profile"].setdefault("note", (
+            "2-3 iteration protocol: rows carry ~8-12 ms of fixed "
+            "round-trip tax — use comparatively, not absolutely"))
+    tr = os.path.join(here, "tools", "TRACE_MS.json")
+    if os.path.exists(tr):
+        with open(tr) as f:
+            detail["trace_ms"] = json.load(f)
+    detail["decisions"] = decisions_dict()
+    detail["total_wall_s"] = round(time.perf_counter() - t_start, 1)
+    flush_detail()
+    print(json.dumps(detail, indent=2), file=sys.stderr)
 
 
 if __name__ == "__main__":

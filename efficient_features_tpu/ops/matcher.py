@@ -54,6 +54,10 @@ def _use_fused(fused: bool | None) -> bool:
         return fused
     env = os.environ.get("EFF_TPU_FUSED_MATCH")
     if env is not None:
+        if env not in ("0", "1"):
+            raise ValueError(
+                f"EFF_TPU_FUSED_MATCH must be '0' or '1', got {env!r} "
+                "(the EFF_TPU_* flag convention)")
         return env == "1"
     return jax.default_backend() == "tpu"
 
@@ -167,16 +171,24 @@ def _knn2_kernel(a_ref, b_ref, v_ref, out_ref, *, tb):
         out_ref[2, :] = jnp.where(take, gidx, ri)
 
 
-def _fused_topk2(desc1, desc2, valid2, qb: int | None = None, tb: int = 512):
+def _resolve_qb(qb: int | None) -> int:
+    """EFF_TPU_MATCH_QB, resolved in the UN-jitted wrappers so the env var
+    participates in the jit cache key (as a static argument) — reading it
+    at trace time would silently reuse the first-compiled qb for the rest
+    of the process (round-4 advisor finding)."""
+    return int(os.environ.get("EFF_TPU_MATCH_QB", "1024")) if qb is None \
+        else qb
+
+
+def _fused_topk2(desc1, desc2, valid2, qb: int = 1024, tb: int = 512):
     """Streaming best-2 in dot space: (best_idx i32, best_dot, second_dot).
 
     qb (query block rows) sets the RHS re-stream factor: the train-side
     descriptor stream is re-read once per query tile, so HBM traffic
     ~ (n1/qb) * n2 * nbits/4 bytes.  qb=1024 keeps that ~3% of the dense
     matrix's traffic while the per-program GEMM stays (1024, nbits, 512).
-    EFF_TPU_MATCH_QB overrides for A/B runs."""
-    if qb is None:
-        qb = int(os.environ.get("EFF_TPU_MATCH_QB", "1024"))
+    EFF_TPU_MATCH_QB overrides for A/B runs (resolved by _resolve_qb in
+    the public entry points)."""
     n1 = desc1.shape[0]
     n2 = desc2.shape[0]
     nbits = desc2.shape[1] * 8
@@ -208,51 +220,70 @@ def _dot_to_hamming(dot, nbits):
     return ((nbits - dot) * 0.5).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnums=(2,))
-def match_fused(desc1: jax.Array, desc2: jax.Array, cross_check: bool = True):
-    """`match` semantics via the streaming kernel (identical outputs)."""
+@partial(jax.jit, static_argnums=(2, 3))
+def _match_fused_impl(desc1, desc2, cross_check: bool, qb: int):
     nbits = desc1.shape[1] * 8
-    j, bdot, _ = _fused_topk2(desc1, desc2, None)
+    j, bdot, _ = _fused_topk2(desc1, desc2, None, qb)
     dist = _dot_to_hamming(bdot, nbits)
     if cross_check:
-        i_back, _, _ = _fused_topk2(desc2, desc1, None)
+        i_back, _, _ = _fused_topk2(desc2, desc1, None, qb)
         valid = i_back[j] == jnp.arange(desc1.shape[0])
     else:
         valid = jnp.ones(desc1.shape[0], bool)
     return j, dist, valid
 
 
-@partial(jax.jit, static_argnums=(2,))
-def knn2_ratio_match_fused(desc1: jax.Array, desc2: jax.Array,
-                           max_ratio: float = 0.8):
-    """`knn2_ratio_match` semantics via the streaming kernel."""
+def match_fused(desc1: jax.Array, desc2: jax.Array, cross_check: bool = True,
+                qb: int | None = None):
+    """`match` semantics via the streaming kernel (identical outputs)."""
+    return _match_fused_impl(desc1, desc2, cross_check, _resolve_qb(qb))
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _knn2_ratio_match_fused_impl(desc1, desc2, max_ratio: float, qb: int):
     nbits = desc1.shape[1] * 8
-    j, bdot, sdot = _fused_topk2(desc1, desc2, None)
+    j, bdot, sdot = _fused_topk2(desc1, desc2, None, qb)
     best = _dot_to_hamming(bdot, nbits)
     second = _dot_to_hamming(sdot, nbits)
     ratio_ok = best.astype(jnp.float32) <= max_ratio * second.astype(jnp.float32)
-    i_back, _, _ = _fused_topk2(desc2, desc1, None)
+    i_back, _, _ = _fused_topk2(desc2, desc1, None, qb)
     cross_ok = i_back[j] == jnp.arange(desc1.shape[0])
     return j, best, ratio_ok & cross_ok
 
 
-@partial(jax.jit, static_argnums=(4,))
-def knn2_ratio_match_masked_fused(desc1: jax.Array, valid1: jax.Array,
-                                  desc2: jax.Array, valid2: jax.Array,
-                                  max_ratio: float = 0.8):
-    """`knn2_ratio_match_masked` semantics via the streaming kernel.
+def knn2_ratio_match_fused(desc1: jax.Array, desc2: jax.Array,
+                           max_ratio: float = 0.8, qb: int | None = None):
+    """`knn2_ratio_match` semantics via the streaming kernel."""
+    return _knn2_ratio_match_fused_impl(desc1, desc2, max_ratio,
+                                        _resolve_qb(qb))
 
-    `best` for all-invalid rows is a large positive sentinel (like the XLA
-    path's 1<<30-derived distances); `ok` is False there either way."""
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _knn2_ratio_match_masked_fused_impl(desc1, valid1, desc2, valid2,
+                                        max_ratio: float, qb: int):
     nbits = desc1.shape[1] * 8
-    j, bdot, sdot = _fused_topk2(desc1, desc2, valid2)
+    j, bdot, sdot = _fused_topk2(desc1, desc2, valid2, qb)
     best = _dot_to_hamming(bdot, nbits)
     second = _dot_to_hamming(sdot, nbits)
     ratio_ok = best.astype(jnp.float32) <= max_ratio * second.astype(jnp.float32)
-    i_back, _, _ = _fused_topk2(desc2, desc1, valid1)
+    i_back, _, _ = _fused_topk2(desc2, desc1, valid1, qb)
     cross_ok = i_back[j] == jnp.arange(desc1.shape[0])
     ok = ratio_ok & cross_ok & valid1 & (bdot > -_MASK_PENALTY * 0.5)
     return j, best, ok
+
+
+def knn2_ratio_match_masked_fused(desc1: jax.Array, valid1: jax.Array,
+                                  desc2: jax.Array, valid2: jax.Array,
+                                  max_ratio: float = 0.8,
+                                  qb: int | None = None):
+    """`knn2_ratio_match_masked` semantics via the streaming kernel.
+
+    Rows where `ok` is False may carry different `j`/`best` values than
+    the dense path (e.g. the dense path's 1<<30-derived sentinels vs this
+    kernel's mask-penalty dots) — only `ok` and (j, best)-where-ok are
+    path-invariant, which is what the parity tests check."""
+    return _knn2_ratio_match_masked_fused_impl(
+        desc1, valid1, desc2, valid2, max_ratio, _resolve_qb(qb))
 
 
 def knn2_ratio_match_masked(desc1: jax.Array, valid1: jax.Array,
@@ -265,7 +296,8 @@ def knn2_ratio_match_masked(desc1: jax.Array, valid1: jax.Array,
     reference's CUDA-stream loop in sample_image_sequence.cpp:96-144).
 
     `fused` as in match(); the two paths agree on `ok` and on (j, best)
-    wherever ok — all-invalid rows carry different large sentinels."""
+    wherever ok is True — rows where ok is False may carry different
+    j/best values between paths (different sentinel conventions)."""
     if _use_fused(fused):
         return knn2_ratio_match_masked_fused(desc1, valid1, desc2, valid2,
                                              max_ratio)
