@@ -775,6 +775,13 @@ def main():
     if os.path.exists(tr):
         with open(tr) as f:
             detail["trace_ms"] = json.load(f)
+        # per-metric *_trace_ms columns: device-side XLA-Module durations
+        # from the committed profiler capture (share-free — the
+        # reconciliation anchor for *_normalized_ms and *_sol_ms;
+        # tools/parse_trace.py)
+        for k, v in detail["trace_ms"].get("metrics", {}).items():
+            if f"{k}_ms" in detail:
+                detail[f"{k}_trace_ms"] = v
     detail["decisions"] = decisions_dict()
     detail["total_wall_s"] = round(time.perf_counter() - t_start, 1)
     flush_detail()

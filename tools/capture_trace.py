@@ -45,20 +45,40 @@ def main():
     img4k = jnp.asarray(make_bench_image(2160, 3840))
     det_cfg = P.FeatureConfig(nfeatures=10000, descriptor_type="bad_256")
     dac_cfg = P.FeatureConfig(nfeatures=40000, descriptor_type="bad_256")
-    read(P.detect_jit(img4k, det_cfg))          # compile + warm
-    read(P.detect_and_compute_jit(img4k, dac_cfg))
+
+    # compute-only protocol keypoints (must match bench.py exactly so the
+    # *_trace_ms columns reconcile the same executables)
+    rng = np.random.default_rng(1)
+    n = 40960
+    kx = jnp.asarray(rng.uniform(20, 3840 - 20, n).astype(np.float32))
+    ky = jnp.asarray(rng.uniform(20, 2160 - 20, n).astype(np.float32))
+    kps = jnp.stack([kx, ky, jnp.full((n,), 31.0), jnp.zeros((n,))], axis=1)
+    kps = kps.astype(jnp.float32)
+    valid = jnp.ones(n, bool)
+
+    # phases keyed by the bench.py metric name (tools/parse_trace.py maps
+    # annotation spans onto the module instances inside them)
+    phases = [
+        ("detect_4k", lambda: P.detect_jit(img4k, det_cfg)),
+        ("detect_and_compute_4k_40k_bad_256",
+         lambda: P.detect_and_compute_jit(img4k, dac_cfg)),
+        ("compute40k_bad256",
+         lambda: P.compute_jit(img4k, kps, valid, 256, "bad", 1.0, True)),
+        ("compute40k_hash_sift256",
+         lambda: P.compute_jit(img4k, kps, valid, 256, "hash_sift", 1.0,
+                               True)),
+    ]
+    for _name, fn in phases:                    # compile + warm
+        read(fn())
 
     tmp = os.path.join(out, "_raw")
     os.makedirs(tmp, exist_ok=True)
     with jax.profiler.trace(tmp):
-        with jax.profiler.TraceAnnotation("detect_4k_10k"):
-            for _ in range(ITERS):
-                o = P.detect_jit(img4k, det_cfg)
-            read(o)
-        with jax.profiler.TraceAnnotation("detect_and_compute_4k_40k_bad256"):
-            for _ in range(ITERS):
-                o = P.detect_and_compute_jit(img4k, dac_cfg)
-            read(o)
+        for name, fn in phases:
+            with jax.profiler.TraceAnnotation(name):
+                for _ in range(ITERS):
+                    o = fn()
+                read(o)
 
     # flatten the newest capture to stable committed names
     prof = os.path.join(tmp, "plugins", "profile")
