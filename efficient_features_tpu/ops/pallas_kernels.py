@@ -562,6 +562,80 @@ def fast_harris_nms(image: jax.Array, threshold: int, radius: int) -> jax.Array:
     return out[:h, :w]
 
 
+# Horizontal box7 backend for the cells kernel (trace-time A/B knob, like
+# EFF_TPU_CELLS_TILE_CAP): "vpu" (shipped slice+add chain) or "mxu"
+# (round-5 verdict A/B: banded one-hot matmuls per 128-column block).
+#
+# The MXU variant answers the round-4 verdict's structural question — can
+# the horizontal stencils ride the idle MXU and break the vector-pass
+# floor?  Exactness forces the answer's shape: box7 inputs (gx*gx etc.)
+# are ints up to ~2^20 and the 49-tap total reaches ~2^25.6, so bf16
+# operands (exact only <= 2^8) need a 3-limb base-256 decomposition and
+# f32 accumulation (exact only <= 2^24) pins the contraction to <= 7 taps
+# per matmul.  The limb build + recombine costs ~21 full-tile vector
+# passes per channel against the ~13 horizontal passes removed — the
+# on-chip A/B (tools/ab_cells_mxu.py) measures whether the MXU's free
+# FLOPs outrun that limb tax.  Unlike resize (u8 inputs, one bf16-exact
+# "limb"), wide-integer exact stencils pay the tax structurally.
+# (The env var is read at trace time inside fast_harris_nms_cells.)
+
+
+def _box7_widths(ew):
+    """Distinct block widths of the 128-column tiling of ew (ordered)."""
+    widths = []
+    x = 0
+    while x < ew:
+        bw = min(128, ew - x)
+        if bw not in widths:
+            widths.append(bw)
+        x += bw
+    return tuple(widths)
+
+
+def _box7_h_band(bw):
+    """Banded one-hot constant for the per-block horizontal 7-tap sum:
+    out[:, x] = sum in[:, x..x+6], as a (bw+6, bw) 0/1 bf16 matrix (passed
+    to the kernel as a VMEM operand — Pallas kernels cannot capture traced
+    constants)."""
+    k = np.arange(bw + 6)[:, None]
+    c = np.arange(bw)[None, :]
+    return jnp.asarray(((k >= c) & (k <= c + 6)).astype(np.float32),
+                       jnp.bfloat16)
+
+
+def _box7_mxu(m, eh, ew, gh2, bands):
+    """Exact box7 with the HORIZONTAL pass on the MXU.
+
+    Vertical first (int32 slice+add chain, exact); then the horizontal
+    7-tap sum rides banded one-hot bf16 matmuls on a base-256 3-limb
+    decomposition (every limb value < 2^8 is bf16-exact; per-limb
+    contraction of 7 terms < 2^16 is f32-exact), limbs M-stacked so each
+    128-column block is ONE matmul against a resident (134, 128) band
+    constant; int32 recombine (a<<16)+(b<<8)+c is exact for the signed
+    gx*gy channel via two's-complement limb algebra.  Bit-identical to
+    the vpu path's int32 box7 by construction."""
+    gw2 = m.shape[1]
+    v = sum(jax.lax.slice(m, (3 + d, 0), (3 + d + eh, gw2))
+            for d in range(-3, 4))                    # (eh, gw2) int32
+    a = (v >> 16).astype(jnp.bfloat16)                # in [-64, 63]
+    b = ((v >> 8) & 255).astype(jnp.bfloat16)
+    c = (v & 255).astype(jnp.bfloat16)
+    stack = jnp.concatenate([a, b, c], axis=0)        # (3*eh, gw2)
+    blocks = []
+    x = 0
+    while x < ew:
+        bw = min(128, ew - x)
+        lhs = jax.lax.slice(stack, (0, x), (3 * eh, x + bw + 6))
+        blocks.append(jnp.dot(lhs, bands[bw],
+                              preferred_element_type=jnp.float32))
+        x += bw
+    rows = jnp.concatenate(blocks, axis=1)            # (3*eh, ew) f32
+    ra = jax.lax.slice(rows, (0, 0), (eh, ew)).astype(jnp.int32)
+    rb = jax.lax.slice(rows, (eh, 0), (2 * eh, ew)).astype(jnp.int32)
+    rc = jax.lax.slice(rows, (2 * eh, 0), (3 * eh, ew)).astype(jnp.int32)
+    return (ra << 16) + (rb << 8) + rc
+
+
 # ---------------------------------------------------------------------------
 # Kernel 3b: fused FAST+Harris+NMS with CELL-REDUCED output
 # ---------------------------------------------------------------------------
@@ -577,13 +651,17 @@ def fast_harris_nms(image: jax.Array, threshold: int, radius: int) -> jax.Array:
 
 def _fast_harris_nms_reduced_kernel(dims_ref, *refs,
                                     threshold, radius, tile_h, tile_w,
-                                    halo_y, halo_x, with_mask=False):
+                                    halo_y, halo_x, with_mask=False,
+                                    box7_kind="vpu", band_widths=()):
+    refs = list(refs)
+    img_hbm = refs.pop(0)
+    mask_hbm = refs.pop(0) if with_mask else None
+    bands = {bw: refs.pop(0)[...] for bw in band_widths}
     if with_mask:
-        (img_hbm, mask_hbm, max_ref, row_ref, cnt_ref,
-         win_ref, mwin_ref, sem, msem) = refs
+        max_ref, row_ref, cnt_ref, win_ref, mwin_ref, sem, msem = refs
     else:
-        img_hbm, max_ref, row_ref, cnt_ref, win_ref, sem = refs
-        mask_hbm = mwin_ref = msem = None
+        max_ref, row_ref, cnt_ref, win_ref, sem = refs
+        mwin_ref = msem = None
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     ph = tile_h + 2 * halo_y
@@ -635,6 +713,8 @@ def _fast_harris_nms_reduced_kernel(dims_ref, *refs,
           - (shd(-1, -1) + 2 * shd(-1, 0) + shd(-1, 1)))
 
     def box7(m):
+        if box7_kind == "mxu":
+            return _box7_mxu(m, eh, ew, gh2, bands)
         rows = sum(jax.lax.slice(m, (0, 3 + d), (gh2, 3 + d + ew))
                    for d in range(-3, 4))
         return sum(jax.lax.slice(rows, (3 + d, 0), (3 + d + eh, ew))
@@ -685,10 +765,11 @@ def _fast_harris_nms_reduced_kernel(dims_ref, *refs,
     cnt_ref[...] = alive3.sum(axis=1).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 4))
+@functools.partial(jax.jit, static_argnums=(1, 2, 4, 5))
 def fast_harris_nms_cells(image: jax.Array, threshold: int, radius: int,
                           mask: jax.Array | None = None,
-                          halo_x: int | None = None):
+                          halo_x: int | None = None,
+                          box7_kind: str | None = None):
     """Fused dense detect with cell-reduced output: returns
     (cellmax (ceil8(h)/8, wpad) f32, cellrow (same) i32 global row of the
     lowest maximal survivor, cellcnt (same) i32 survivor count), each cell
@@ -701,8 +782,17 @@ def fast_harris_nms_cells(image: jax.Array, threshold: int, radius: int,
     halo'd window DMA as the image.
 
     `halo_x` (static; A/B knob): column-halo width override, must be >= the
-    kernel support and keep tile_w + 2*halo_x a 128 multiple."""
+    kernel support and keep tile_w + 2*halo_x a 128 multiple.
+
+    `box7_kind` (static; A/B knob): "vpu" (default) or "mxu" — horizontal
+    box7 backend (see _CELLS_BOX7 / _box7_mxu); None reads
+    EFF_TPU_CELLS_BOX7 at trace time.  Bit-identical outputs."""
     h, w = image.shape
+    if box7_kind is None:
+        box7_kind = os.environ.get("EFF_TPU_CELLS_BOX7", "vpu")
+    if box7_kind not in ("vpu", "mxu"):
+        raise ValueError(f"box7_kind must be 'vpu' or 'mxu', got "
+                         f"{box7_kind!r}")
     # h_step=64: the (tile_h/8, tile_w) output blocks need a sublane dim
     # divisible by 8 when the grid has >1 row (see _tile_dims)
     tile_h, tile_w = _tile_dims(h, w, h_step=64)
@@ -732,12 +822,24 @@ def fast_harris_nms_cells(image: jax.Array, threshold: int, radius: int,
         scratch = scratch[:1] + [
             pltpu.VMEM((tile_h + 2 * halo_y, tile_w + 2 * halo_x),
                        jnp.uint8)] + scratch[1:] + [pltpu.SemaphoreType.DMA]
+    band_widths = ()
+    if box7_kind == "mxu":
+        # banded one-hot constants ride as broadcast VMEM operands (one
+        # per distinct 128-column block width of ew = tile_w + 2*(radius-1))
+        band_widths = _box7_widths(tile_w + 2 * (radius - 1))
+        for bw in band_widths:
+            band = _box7_h_band(bw)
+            operands.append(band)
+            in_specs.append(pl.BlockSpec(band.shape,
+                                         lambda i, j, *_: (0, 0),
+                                         memory_space=pltpu.VMEM))
 
     kernel = functools.partial(_fast_harris_nms_reduced_kernel,
                                threshold=threshold, radius=radius,
                                tile_h=tile_h, tile_w=tile_w,
                                halo_y=halo_y, halo_x=halo_x,
-                               with_mask=with_mask)
+                               with_mask=with_mask, box7_kind=box7_kind,
+                               band_widths=band_widths)
     th8 = tile_h // 8
     outs = pl.pallas_call(
         kernel,

@@ -394,6 +394,25 @@ def test_disc_max_band_ladder_bit_exact():
         np.testing.assert_array_equal(got, want)
 
 
+def test_cells_box7_mxu_bit_identical(img):
+    """Round-5 verdict A/B: the MXU horizontal box7 (banded one-hot bf16
+    matmuls on a 3-limb base-256 decomposition, exact by construction —
+    see PK._box7_mxu) must be bit-identical to the vpu slice+add chain,
+    masked and unmasked.  Any 1-ulp drift is a limb/recombine bug."""
+    im = jnp.asarray(img)
+    a = PK.fast_harris_nms_cells(im, 20, 15, None, None, "vpu")
+    b = PK.fast_harris_nms_cells(im, 20, 15, None, None, "mxu")
+    for name, x, y in zip(("max", "row", "cnt"), a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=name)
+    rng = np.random.default_rng(9)
+    mask = jnp.asarray(rng.uniform(size=img.shape) > 0.4)
+    a = PK.fast_harris_nms_cells(im, 20, 15, mask, None, "vpu")
+    b = PK.fast_harris_nms_cells(im, 20, 15, mask, None, "mxu")
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_tile_dims_h_step_invariant():
     """The cells kernel's (tile_h/8, tile_w) output blocks need the sublane
     dim divisible by 8 whenever the grid has >1 row, i.e. tile_h % 64 == 0

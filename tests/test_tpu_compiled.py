@@ -35,6 +35,7 @@ from test_kernels import (  # noqa: F401
     test_bad_window_kernel_100k_chunked,
     test_fast_harris_nms_cells_selection_exact,
     test_fast_harris_nms_cells_tie_fallback,
+    test_cells_box7_mxu_bit_identical,
     test_hs_fused_kernel_desc_parity,
     test_hs_fused_end_to_end_budget,
     test_atan2_poly_accuracy,
