@@ -110,12 +110,23 @@ def build_probes():
     import jax
     import jax.numpy as jnp
 
-    rng = np.random.default_rng(7)
-    pa = jnp.asarray(rng.standard_normal((4096, 4096)), jnp.bfloat16)
+    # random operands generated ON DEVICE (jax.random under jit): host
+    # transfers of ~100 MB would crawl through the MB/s tunnel, while
+    # constant operands (the round-4 probes used jnp.ones) risk backend
+    # fast paths flattering the rate
+    def dev_rand(shape, dtype, lo, hi, seed):
+        k = jax.random.PRNGKey(seed)
+        x = jax.jit(lambda k: jax.random.uniform(
+            k, shape, jnp.float32, lo, hi))(k)
+        if dtype == jnp.int8:
+            return jax.jit(lambda v: jnp.round(v).astype(jnp.int8))(x)
+        return jax.jit(lambda v, d=dtype: v.astype(d))(x)
+
+    pa = dev_rand((4096, 4096), jnp.bfloat16, -1.0, 1.0, 0)
     p_mm = jax.jit(lambda a: jnp.dot(a, a, preferred_element_type=jnp.float32))
-    pi = jnp.asarray(rng.integers(-3, 4, (2048, 2048)), jnp.int8)
+    pi = dev_rand((2048, 2048), jnp.int8, -3.0, 3.0, 1)
     p_i8 = jax.jit(lambda a: jnp.dot(a, a, preferred_element_type=jnp.int32))
-    pv = jnp.asarray(rng.uniform(0.9, 1.1, (256, 512)), jnp.float32)
+    pv = dev_rand((256, 512), jnp.float32, 0.9, 1.1, 2)
 
     @jax.jit
     def p_vpu(x):
@@ -128,7 +139,7 @@ def build_probes():
             return a
         return jax.lax.fori_loop(0, 128, body, x)
 
-    ph = jnp.asarray(rng.standard_normal((4096, 4096)), jnp.float32)
+    ph = dev_rand((4096, 4096), jnp.float32, -1.0, 1.0, 3)
     p_hbm = jax.jit(lambda x: x * np.float32(1.000001) + np.float32(0.001))
 
     # stencil probe: unaligned lane-slice + add chain on a kernel-shaped
@@ -137,7 +148,8 @@ def build_probes():
     # run ~2.5-3x slower per element than fma chains and ~10-20x below the
     # ALU-peak VPU estimate, which is where the old SOL's 50x residual
     # lived).  work = slice+add per step = 2 vector ops x 16 steps.
-    pst = jnp.asarray(rng.integers(0, 255, (176, 1408)), jnp.int32)
+    pst = jax.jit(lambda k: jax.random.randint(
+        k, (176, 1408), 0, 255, jnp.int32))(jax.random.PRNGKey(4))
 
     @jax.jit
     def p_stencil(x):
@@ -288,19 +300,28 @@ def build_metrics():
         (a, b, (WKm.bucket_scale(sz / 32.0)
                 if sz / 32.0 <= WKm._S_CAP else None))
         for (a, b, sz) in P.level_slot_ranges(det40, *sizes["4k"]))
+    detected_kp_cache = {}
+
+    def detected_kps(tag, src):
+        # lazy: running detect at 40k here would compile two large shapes
+        # BEFORE the headline metric prints (round-5 driver-proofing: no
+        # work ahead of the headline that isn't the headline's own)
+        if tag not in detected_kp_cache:
+            slots40 = P.detect_jit(src, det40)
+            kp40 = jnp.stack([slots40["x"], slots40["y"], slots40["size"],
+                              slots40["angle"]], axis=1).astype(jnp.float32)
+            detected_kp_cache[tag] = (kp40, slots40["valid"])
+        return detected_kp_cache[tag]
+
     for tag, src in (("", img4k), ("_real", real_images["4k"])):
-        slots40 = P.detect_jit(src, det40)
-        kp40 = jnp.stack([slots40["x"], slots40["y"], slots40["size"],
-                          slots40["angle"]], axis=1).astype(jnp.float32)
-        valid40 = slots40["valid"]
         for kind, base, bound, sol in (("bad", 1.5, "vpu", 25.0),
                                        ("hash_sift", 3.5, "mxu_bf16", 32.0)):
-            metrics.append(M(
-                f"compute40k_detected_{kind}256{tag}",
-                lambda src=src, kp40=kp40, valid40=valid40, kind=kind:
-                    P.compute_bucketed_jit(src, kp40, valid40, 256, kind,
-                                           1.0, br40),
-                8, base, bound, sol))
+            def fn(tag=tag, src=src, kind=kind):
+                kp40, valid40 = detected_kps(tag, src)
+                return P.compute_bucketed_jit(src, kp40, valid40, 256, kind,
+                                              1.0, br40)
+            metrics.append(M(f"compute40k_detected_{kind}256{tag}", fn,
+                             8, base, bound, sol))
 
     # masked detect (round-2 verdict: the masked path must not cliff)
     mask4k = jnp.asarray(np.ones(sizes["4k"], np.uint8))
@@ -538,7 +559,11 @@ def main():
     import jax
 
     t_start = time.perf_counter()
-    budget_s = float(os.environ.get("EFF_TPU_BENCH_BUDGET_S", "420"))
+    # default sized for a warm .xla_cache run (~8-12 min: 3 passes x
+    # (probe, metric, probe) per metric) under a driver timeout that round
+    # 3 proved is >= ~25 min; a cold or slow-share session skips optional
+    # rows instead of overrunning
+    budget_s = float(os.environ.get("EFF_TPU_BENCH_BUDGET_S", "1200"))
 
     # persistent compile cache: the bench compiles ~10 large pipeline
     # signatures (minutes each on the tunneled dev toolchain); cached
@@ -596,13 +621,16 @@ def main():
     tax_ms = min(time_once(lambda: tiny(jnp.float32(0)), 1) for _ in range(3))
     detail["read_tax_ms"] = round(tax_ms, 2)
 
-    # probe-iteration calibration to a ~250 ms window (tax <~10% any share)
+    # probe-iteration calibration to a ~200 ms window (the fixed tax is
+    # subtracted, so the window only needs to dominate timer jitter; six
+    # probe windows run per metric per pass, so window length is the main
+    # bench-duration lever)
     probe_iters = {}
     for name, (fn, _work) in probes.items():
         read(fn())
         t4 = time_once(fn, 4)
         t_est = max(t4 - tax_ms / 4, 0.05)     # net per-iter estimate
-        probe_iters[name] = int(min(max(8, 250.0 / t_est), 256))
+        probe_iters[name] = int(min(max(8, 200.0 / t_est), 256))
 
     def probe_rate(name):
         """ops-or-bytes/s for one adjacent probe window, tax-corrected,
@@ -673,15 +701,15 @@ def main():
         "unit": "ms",
         "vs_baseline": round(HEADLINE_BASELINE_MS / ms, 4),
     }), flush=True)
-    headline_done = time.perf_counter()
 
     # ------------------------------------------------------------------
-    # Remaining metrics under the wall budget (counted from the headline
-    # print; optional rows checked against a tighter fraction so required
+    # Remaining metrics under the wall budget (counted from PROCESS START
+    # so a slow-share headline eats the budget rather than overrunning the
+    # driver's timeout; optional rows check a tighter fraction so required
     # rows get the slack first).
     # ------------------------------------------------------------------
     def over_budget(optional):
-        used = time.perf_counter() - headline_done
+        used = time.perf_counter() - t_start
         return used > (budget_s * (0.8 if optional else 1.0))
 
     for m in metrics[1:]:

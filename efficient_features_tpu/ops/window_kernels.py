@@ -917,8 +917,12 @@ def _ic_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref, umax_ref,
 
         dxv = cols - xloc
         mask = (jnp.abs(dxv) <= umax).astype(jnp.float32)
-        m10 = (t * (dxv.astype(jnp.float32) * mask)).sum()
-        m01 = (t * (dyf_m * mask)).sum()
+        # one shared masked-t pass (round 5): t, mask, dxv are all exact
+        # small integers, so (t*mask)*dxv == t*(dxv*mask) bit-for-bit while
+        # saving one full (31, WIN_W) multiply per keypoint
+        tm = t * mask
+        m10 = (tm * dxv.astype(jnp.float32)).sum()
+        m01 = (tm * dyf_m).sum()
         out_ref[pl.ds(k, 1), 0] = m01.reshape(1)
         out_ref[pl.ds(k, 1), 1] = m10.reshape(1)
         return carry
