@@ -621,29 +621,33 @@ def main():
     tax_ms = min(time_once(lambda: tiny(jnp.float32(0)), 1) for _ in range(3))
     detail["read_tax_ms"] = round(tax_ms, 2)
 
-    # probe-iteration calibration to a ~200 ms window (the fixed tax is
-    # subtracted, so the window only needs to dominate timer jitter; six
-    # probe windows run per metric per pass, so window length is the main
-    # bench-duration lever)
+    # probe-iteration calibration to a ~120 ms base window (each probe
+    # call runs a k-iter and a 2k-iter window; four probe calls run per
+    # metric per pass, so window length is the main bench-duration lever)
     probe_iters = {}
     for name, (fn, _work) in probes.items():
         read(fn())
         t4 = time_once(fn, 4)
         t_est = max(t4 - tax_ms / 4, 0.05)     # net per-iter estimate
-        probe_iters[name] = int(min(max(8, 200.0 / t_est), 256))
+        probe_iters[name] = int(min(max(8, 120.0 / t_est), 192))
 
     def probe_rate(name):
-        """ops-or-bytes/s for one adjacent probe window, tax-corrected,
-        median of 3 windows (round-5 probe-credibility fix)."""
+        """ops-or-bytes/s for one adjacent probe: DIFFERENTIAL two-window
+        timing (k and 2k iters; per-iter = 2*t_2k - t_k) cancels the fixed
+        round-trip tax exactly instead of subtracting a separately-measured
+        estimate — the round-5 probe-credibility fix: a 62 ms tax estimate
+        captured during a slow tunnel moment over-subtracted 0.24 ms/iter
+        from 0.13 ms/iter probes and reported shares of 3-7.  If the share
+        swings between the two windows the difference can collapse; it is
+        floored at a third of the 2k-window mean so a single bad pair can
+        inflate a rate by at most 3x (flagged via share_spread/median
+        anyway)."""
         fn, work = probes[name]
-        iters = probe_iters[name]
-        samples = []
-        for _ in range(3):
-            pms = time_once(fn, iters)
-            net = max(pms - tax_ms / iters, 1e-3)
-            samples.append((net, work / (net / 1e3)))
-        samples.sort()
-        return samples[1]
+        k = probe_iters[name]
+        t1 = time_once(fn, k)
+        t2 = time_once(fn, 2 * k)
+        per = max(2 * t2 - t1, t2 / 3.0, 1e-3)
+        return per, work / (per / 1e3)
 
     probe_best = {name: float("inf") for name in probes}
 
@@ -737,6 +741,25 @@ def main():
             detail[f"batch{nb}_4k_per_frame_ms"] = round(detail[k] / nb, 2)
             detail[f"batch{nb}_4k_fps"] = round(1000.0 * nb / detail[k], 1)
 
+    # the throughput story (round-4 verdict #6): where does batched
+    # per-frame dAC cross the RTX single-stream 7.2 ms?  (FHD batches at
+    # 4k features; the RTX number is 4K/40k, so the honest comparison is
+    # frames/s at matched work — recorded as measured, with the crossover
+    # stated from the FHD curve.)
+    curve = {nb: detail.get(f"batch{nb}_fhd_per_frame_ms")
+             for nb in (1, 4, 8, 16)}
+    curve[1] = detail.get("streaming_fhd_frame_ms")
+    known = {nb: v for nb, v in curve.items() if v}
+    batch_scaling_entry = None
+    if len(known) >= 2:
+        cross = [nb for nb, v in sorted(known.items()) if v < 7.2]
+        batch_scaling_entry = {
+            "per_frame_ms": known,
+            "crossover_batch_vs_rtx_7p2": (cross[0] if cross else None),
+            "note": ("single-chip lax.map batches on FHD/4k-feature dAC; "
+                     "per-frame cost amortizes dispatch+pyramid overheads; "
+                     "see batch*_4k rows for the 4K curve")}
+
     # sanity pair for share normalization (round-4 verdict Weak #3): two
     # near-equal kernels must normalize within ~1.3x
     a = detail.get("cells_8k_halo64_normalized_ms")
@@ -811,6 +834,8 @@ def main():
             if f"{k}_ms" in detail:
                 detail[f"{k}_trace_ms"] = v
     detail["decisions"] = decisions_dict()
+    if batch_scaling_entry is not None:
+        detail["decisions"]["batch_scaling"] = batch_scaling_entry
     detail["total_wall_s"] = round(time.perf_counter() - t_start, 1)
     flush_detail()
     print(json.dumps(detail, indent=2), file=sys.stderr)
