@@ -90,6 +90,22 @@ def _spatial_weight_core():
 
 
 @functools.lru_cache(maxsize=None)
+def _spatial_weight_core_shifted():
+    """(8192, 128) f32 constant for the STANDALONE hist kernel
+    (window_kernels._hs_hist_kernel): row block o (1024 rows) is
+    _spatial_weight_core with its 16 core columns moved to lanes
+    16*o..16*o+15, so the kernel's per-orientation-bin matmuls accumulate
+    straight into the orientation-major (o*16 + rc) descriptor layout —
+    lane placement rides the matmul instead of (slow) lane shifts, and the
+    8 partial products occupy disjoint lanes so their sum is exact."""
+    W = _spatial_weight_core()                                # (1024, 128)
+    out = np.zeros((8 * 1024, 128), np.float32)
+    for o in range(ORI_BINS):
+        out[o * 1024:(o + 1) * 1024, 16 * o:16 * o + 16] = W[:, :16]
+    return out
+
+
+@functools.lru_cache(maxsize=None)
 def _grad_shift_mat():
     """(1024, 1024) f32 constant for the fused kernel's quantized-patch
     gradients: one MXU matmul q(.,1024) @ G replaces the in-kernel lane

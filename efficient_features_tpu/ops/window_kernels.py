@@ -1607,6 +1607,120 @@ def _hs_desc_windows_impl(image, x, y, size, angle, valid,
 
 
 # ---------------------------------------------------------------------------
+# Standalone HashSIFT histogram kernel (patches -> quantized SIFT core)
+# ---------------------------------------------------------------------------
+# The two-stage HS path's histogram (ops.hash_sift.patch_sift_responses)
+# is the one stage still above its SOL model: it materializes ~15
+# (N, 900)-class f32 arrays through HBM (gradients, magnitude/orientation,
+# trilinear vote splits, nine masked per-bin vote builds) around matmuls
+# that measured precision-insensitive — i.e. the stage is HBM-traffic
+# bound, not MXU bound.  This kernel runs the fused kernel's hist tail
+# (phases 2-4 of _hs_fused_kernel: exact packed-gradient constant matmul,
+# polynomial atan2, per-orientation-bin core matmuls, two-pass normalize /
+# quantize) over the warp kernel's (N, 1024) u8 patch rows ENTIRELY in
+# VMEM, N-blocked at M = _HS_HIST_NB rows per program.  HBM traffic drops
+# to: read 1 B/pixel of patches + write 128 B/keypoint of descriptor.
+#
+# Why this wins where the FUSED kernel lost (decisions.hs_fused_kernel):
+# the fused kernel's in-kernel constant matmuls ran at M = 8 (one warp
+# block) and were VMEM weight-stream-bound — the same contractions here
+# run at M = 256, amortizing the streams 32x, while the warp stage keeps
+# its own proven two-stage shape.  The per-orientation matmuls contract
+# against hash_sift._spatial_weight_core_shifted, whose row block o lands
+# bin o's 16 core columns at lanes 16*o..16*o+15: the eight partial
+# products occupy disjoint lanes, so their sum assembles the orientation-
+# major (N, 128) core exactly — no lane shifts, no sublane->lane reshape.
+#
+# Exactness: the gradient matmul is exact (u8 pixels and {+-1, +-4096}
+# entries are bf16-exact; every product/partial sum is an exact integer
+# < 2^24 in the f32 accumulator — hash_sift._grad_shift_mat), so dx/dy
+# equal the oracle's integer subtractions bit-for-bit.  Everything after
+# (atan poly, Newton-reciprocal divides, HIGHEST-precision core matmuls)
+# is the fused kernel's budget class: quantized bytes off by <= 1 on a
+# ~1e-3 fraction vs the oracle (test_hs_hist_kernel_parity).
+
+_HS_HIST_NB = 256  # keypoint rows per program (M of the in-kernel matmuls)
+
+
+def _hs_hist_kernel(p_ref, dg_ref, wsp_ref, out_ref):
+    """(NB, 1024) u8 patches -> (NB, 128) u8 orientation-major SIFT core."""
+    nb = p_ref.shape[0]
+    # no u8 -> bf16 cast on TPU; go via int32 (values <= 255, bf16-exact)
+    q = p_ref[...].astype(jnp.int32).astype(jnp.bfloat16)
+    z = jnp.dot(q, dg_ref[...],
+                preferred_element_type=jnp.float32)           # (NB, 1024)
+    # exact unpack of z = dx + 4096*dy: |dx| <= 255 < 2048
+    dyv = jnp.floor(z * np.float32(1.0 / 4096.0) + np.float32(0.5))
+    dxv = z - np.float32(4096.0) * dyv
+    mag = jnp.sqrt(dxv * dxv + dyv * dyv)
+    ori = _atan2_poly(dyv, dxv)
+    scale_o = np.float32(8.0 / (2.0 * np.pi))
+    ob = scale_o * ori
+    oi = jnp.floor(ob).astype(jnp.int32)
+    of = ob - oi.astype(jnp.float32)
+    oi = jnp.where(oi < 0, oi + 8, oi)
+    oi = jnp.where(oi >= 8, oi - 8, oi)
+    v_hi = of * mag
+    v_lo = mag - v_hi
+    oip1 = oi + 1
+    oip1 = jnp.where(oip1 == 8, 0, oip1)  # circular fold at vote time
+
+    # eight (NB, 1024) @ (1024, 128) HIGHEST-precision matmuls; bin o's
+    # shifted weight block lands its columns at lanes 16o..16o+15, so the
+    # accumulated H is the orientation-major core (adds into exact zeros)
+    H = jnp.zeros((nb, 128), jnp.float32)
+    for o in range(8):
+        V_o = (jnp.where(oi == o, v_lo, np.float32(0.0))
+               + jnp.where(oip1 == o, v_hi, np.float32(0.0)))
+        H = H + jnp.dot(V_o, wsp_ref[1024 * o:1024 * (o + 1), :],
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+
+    # row-wise two-pass normalize + quantize (the fused kernel's phase 4,
+    # batched over NB rows; lanes 16..127 of each shifted block were zero
+    # only pre-sum — post-sum all 128 lanes carry real core values)
+    nrm = jnp.maximum(jnp.sqrt((H * H).sum(axis=1, keepdims=True)), _EPS32)
+    d = jnp.minimum(H * _recip(nrm), np.float32(0.2))
+    nrm2 = jnp.maximum(jnp.sqrt((d * d).sum(axis=1, keepdims=True)), _EPS32)
+    d = d * _recip(nrm2)
+    qv = jnp.clip(jnp.trunc(np.float32(512.0) * d + np.float32(0.5)),
+                  0.0, 255.0)
+    out_ref[...] = qv.astype(jnp.int32).astype(jnp.uint8)
+
+
+@jax.jit
+def hs_hist_from_patches(patches):
+    """(N, 128) uint8 quantized SIFT core rows (orientation-major layout,
+    hs_fused_projection's GEMM) from (N, 1024) uint8 warped patch rows.
+
+    Pallas replacement for ops.hash_sift.patch_sift_responses' histogram +
+    normalize (the XLA stage stays the CPU/interpret oracle); see the
+    section comment above for the traffic argument and exactness contract.
+    Zero-padded rows (patch all-0) produce descriptor 0 exactly: dx = dy =
+    0 -> mag 0 -> H 0 -> d = 0 * recip(eps) = 0."""
+    n = patches.shape[0]
+    nb = _HS_HIST_NB
+    n_pad = -(-n // nb) * nb
+    p = jnp.pad(patches, ((0, n_pad - n), (0, 0)))
+    from . import hash_sift as _hs
+    dg = jnp.asarray(_hs._grad_shift_mat(), jnp.bfloat16)
+    wsp = jnp.asarray(_hs._spatial_weight_core_shifted())
+    out = pl.pallas_call(
+        _hs_hist_kernel,
+        grid=(n_pad // nb,),
+        in_specs=[pl.BlockSpec((nb, 1024), lambda i: (i, 0)),
+                  pl.BlockSpec((1024, 1024), lambda i: (0, 0)),
+                  pl.BlockSpec((8 * 1024, 128), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((nb, 128), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 128), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(p, dg, wsp)
+    return out[:n]
+
+
+# ---------------------------------------------------------------------------
 # HashSIFT patch-warp kernel, large-keypoint buckets (single-keypoint mode)
 # ---------------------------------------------------------------------------
 

@@ -279,9 +279,32 @@ def _use_fused_hs() -> bool:
     return os.environ.get("EFF_TPU_FUSED_HS", "0") == "1"
 
 
+def _hs_hist_backend() -> str:
+    """Histogram backend for the two-stage HashSIFT path: "pallas" (the
+    standalone VMEM-resident hist kernel, window_kernels._hs_hist_kernel)
+    or "xla" (ops.hash_sift.patch_sift_responses — also the CPU/interpret
+    oracle).  EFF_TPU_HS_HIST overrides; like the other EFF_TPU_* kernel
+    knobs it is read at TRACE time, so it only takes effect before the
+    first compile of a given pipeline signature.  Default decided by the
+    round-5 on-chip A/B (BENCH_DETAIL decisions.hs_hist_backend)."""
+    import os
+    v = os.environ.get("EFF_TPU_HS_HIST", "xla")
+    if v not in ("pallas", "xla"):
+        raise ValueError(f"EFF_TPU_HS_HIST must be 'pallas' or 'xla', "
+                         f"got {v!r}")
+    return v
+
+
 def _hs_from_patches(patches, valid, nbits):
     """HashSIFT tail shared by every warp source: SIFT responses -> learned
-    projection GEMM (MXU, f32-highest for sign-bit parity) -> bit pack."""
+    projection GEMM (MXU, f32-highest for sign-bit parity) -> bit pack.
+
+    On TPU the histogram+normalize stage runs in the Pallas hist kernel by
+    default (u8 (N, 1024) patch rows stay the only HBM round trip); the
+    XLA stage remains the oracle and the CPU-backend path."""
+    if _use_pallas() and _hs_hist_backend() == "pallas":
+        desc = WK.hs_hist_from_patches(patches.reshape(-1, 1024))
+        return _hs_from_fused(desc, valid, nbits)
     responses = ops_hs.patch_sift_responses(patches.reshape(-1, 32, 32))
     B = jnp.asarray(load_hash_sift_matrix(nbits))
     proj = jnp.dot(responses, B.T, preferred_element_type=jnp.float32,

@@ -195,6 +195,52 @@ def test_hs_fused_end_to_end_budget(img):
         assert (a != b).sum() <= budget
 
 
+def test_hs_hist_kernel_parity(img):
+    """Standalone Pallas hist kernel (warp patches -> quantized SIFT core,
+    window_kernels._hs_hist_kernel) vs the oracle's histogram+normalize.
+    Interpret mode measured bit-identical; compiled keeps the fused
+    kernel's atan-poly/FMA budget (bytes off by <= 1, ~1e-3 fraction)."""
+    h, w = img.shape
+    x, y, size, angle = make_keypoints(h, w, 24, seed=12)
+    x[:3] = [2, w - 3, w / 2]
+    y[:3] = [h / 2, 2, h - 3]
+    valid = np.ones(24, bool)
+    patches = np.asarray(WK.warp_patches_windows(
+        jnp.asarray(img), jnp.asarray(x), jnp.asarray(y), jnp.asarray(size),
+        jnp.asarray(angle), jnp.asarray(valid), 1.0))         # (N, 1024) u8
+    want_d = DC.patch_sift_responses(
+        patches.astype(np.float32).reshape(-1, 32, 32))[:, 1:]
+    perm = np.array([(l % 16) * 8 + l // 16 for l in range(128)])
+    want_e = want_d[:, perm]
+    got = np.asarray(WK.hs_hist_from_patches(
+        jnp.asarray(patches))).astype(np.float32)
+    assert np.abs(got - want_e).max() <= 1.0
+    assert (got != want_e).mean() < 2e-3
+    # N-padding path (N % 256 != 0 pads with zero patches -> desc 0)
+    got17 = np.asarray(WK.hs_hist_from_patches(jnp.asarray(patches[:17])))
+    np.testing.assert_array_equal(got17, got[:17].astype(np.uint8))
+
+
+def test_hs_hist_end_to_end_budget(img):
+    """Pallas-hist two-stage path end-to-end (warp kernel -> hist kernel ->
+    permuted projection) vs the oracle HashSIFT bytes at the reference's
+    1e-4 budget — the EFF_TPU_HS_HIST='pallas' pipeline tail."""
+    from efficient_features_tpu import pipeline as P
+
+    h, w = img.shape
+    x, y, size, angle = make_keypoints(h, w, 200, seed=13)
+    valid = np.ones(200, bool)
+    patches = WK.warp_patches_windows(
+        jnp.asarray(img), jnp.asarray(x), jnp.asarray(y), jnp.asarray(size),
+        jnp.asarray(angle), jnp.asarray(valid), 1.0)
+    desc = WK.hs_hist_from_patches(patches.reshape(-1, 1024))
+    for nbits in (256, 512):
+        a = DC.hash_sift_descriptors(img, x, y, size, angle, nbits=nbits)
+        b = np.asarray(P._hs_from_fused(desc, jnp.asarray(valid), nbits))
+        budget = int(1e-4 * a.size) + 1
+        assert (a != b).sum() <= budget
+
+
 def test_atan2_poly_accuracy():
     """Hand-rolled Mosaic atan2 vs numpy over all quadrants and axes."""
     import jax

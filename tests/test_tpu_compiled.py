@@ -38,6 +38,8 @@ from test_kernels import (  # noqa: F401
     test_cells_box7_mxu_bit_identical,
     test_hs_fused_kernel_desc_parity,
     test_hs_fused_end_to_end_budget,
+    test_hs_hist_kernel_parity,
+    test_hs_hist_end_to_end_budget,
     test_atan2_poly_accuracy,
 )
 # octave-bucket kernels (multi-scale compute) compiled on the real chip
