@@ -441,6 +441,43 @@ def build_metrics():
                      "mxu_bf16", 32.0, optional=True,
                      decision="hs_fused_kernel"))
 
+    # A/B: HS histogram tail backend on SHARED warp patches (round-5
+    # decision hs_hist_backend; tools/ab_hs_hist.py is the controlling
+    # interleaved A/B).  Lazy: the warp stage runs once, on first dispatch,
+    # only if the budget reaches these optional rows.
+    from efficient_features_tpu.ops import hash_sift as HSm
+    from efficient_features_tpu.ops import bad as BADm
+    from efficient_features_tpu.models.params import load_hash_sift_matrix
+
+    _hs_patches = []
+
+    def _tail_patches():
+        if not _hs_patches:
+            _hs_patches.append(_jax.jit(
+                lambda: WKm.warp_patches_windows(
+                    img4k, kx, ky, ksz, kang, valid, 1.0))())
+        return _hs_patches[0]
+
+    @_jax.jit
+    def hs_tail_xla(patches, v):
+        responses = HSm.patch_sift_responses(patches.reshape(-1, 32, 32))
+        B = jnp.asarray(load_hash_sift_matrix(256))
+        proj = jnp.dot(responses, B.T, preferred_element_type=jnp.float32,
+                       precision="highest")
+        bits = jnp.where(v[:, None], (proj > 0).astype(jnp.int32), 0)
+        return BADm.pack_bits_msb(bits)
+
+    @_jax.jit
+    def hs_tail_pallas(patches, v):
+        d = WKm.hs_hist_from_patches(patches.reshape(-1, 1024))
+        return _P._hs_from_fused(d, v, 256)
+
+    for tk, tfn in (("xla", hs_tail_xla), ("pallas", hs_tail_pallas)):
+        metrics.append(M(f"hs40k_tail_{tk}",
+                         lambda tfn=tfn: tfn(_tail_patches(), valid),
+                         16, None, "mxu_bf16", None, optional=True,
+                         decision="hs_hist_backend"))
+
     # A/B: warp kernel body (round-8) — "select": full-height (128, npx)
     # row-index wheres; "split": per-half (64, npx) builds with hoisted
     # pair-invariant iotas.  Bit-identical; the standalone warp is ~70% of
@@ -512,6 +549,27 @@ def decisions_dict():
         "(HBM 744 GB/s probed): 19.7 vs 17.4 at 4K, 54.2 vs 55.5 at 8K — "
         "still a loss/tie, decision closed; opt-in via "
         "FeatureConfig.pallas_resize / EFF_TPU_PALLAS_RESIZE",
+        "hs_hist_backend": "round 5 on-chip interleaved A/B (tools/"
+        "ab_hs_hist.py, 3 passes x 16 iters, byte parity asserted first: "
+        "2 differing bytes of 1.3M, budget 263): the standalone Pallas "
+        "hist kernel (window_kernels._hs_hist_kernel — the fused kernel's "
+        "hist tail at M=256 rows/program, VMEM-resident) runs the 40k "
+        "hist+projection tail in 5.43 ms vs the XLA stage's 13.5 (2.5x; "
+        "warp stage 22.7 for context) — 'pallas' is the TPU default "
+        "(EFF_TPU_HS_HIST overrides).  Confirms the round-4 verdict's "
+        "HS-residual diagnosis: the stage was HBM-traffic bound on ~15 "
+        "materialized (N,900)-class intermediates, and the fused kernel's "
+        "earlier losses were the per-keypoint M=8 weight streams, not "
+        "in-kernel hist math itself",
+        "cells_box7": "round 5 on-chip interleaved A/B (tools/"
+        "ab_cells_mxu.py, 3 passes x 16 iters, bit-identity asserted): the "
+        "MXU banded-matmul horizontal box7 WINS every pass at both sizes — "
+        "4K 4.11 vs 4.21 ms, 8K 12.01 vs 12.37 (min-of-3) — so 'mxu' is "
+        "the default (EFF_TPU_CELLS_BOX7 overrides).  The round-4 verdict's "
+        "structural question answered: moving the horizontal stencil to "
+        "the MXU buys ~3%, not a floor break — the limb build/recombine "
+        "tax eats most of the removed vector passes, as the op-count "
+        "model predicted",
         "cells_halo": "round 4: column halo 128->64 (the kernel support "
         "needs only 18; 64 keeps the DMA width a 128 multiple) — standalone "
         "cells-8K A/B: 14.33 vs 17.70 ms, and detect 4K/8K dropped "

@@ -784,12 +784,16 @@ def fast_harris_nms_cells(image: jax.Array, threshold: int, radius: int,
     `halo_x` (static; A/B knob): column-halo width override, must be >= the
     kernel support and keep tile_w + 2*halo_x a 128 multiple.
 
-    `box7_kind` (static; A/B knob): "vpu" (default) or "mxu" — horizontal
-    box7 backend (see _CELLS_BOX7 / _box7_mxu); None reads
+    `box7_kind` (static; A/B knob): "mxu" (default; round-5 on-chip A/B)
+    or "vpu" — horizontal box7 backend (see _box7_mxu); None reads
     EFF_TPU_CELLS_BOX7 at trace time.  Bit-identical outputs."""
     h, w = image.shape
     if box7_kind is None:
-        box7_kind = os.environ.get("EFF_TPU_CELLS_BOX7", "vpu")
+        # "mxu" default: round-5 on-chip interleaved A/B (tools/
+        # ab_cells_mxu.py) — mxu wins every pass at both sizes (4K 4.11
+        # vs 4.21 ms, 8K 12.01 vs 12.37, min-of-3), bit-identical; see
+        # BENCH_DETAIL decisions.cells_box7
+        box7_kind = os.environ.get("EFF_TPU_CELLS_BOX7", "mxu")
     if box7_kind not in ("vpu", "mxu"):
         raise ValueError(f"box7_kind must be 'vpu' or 'mxu', got "
                          f"{box7_kind!r}")

@@ -285,10 +285,12 @@ def _hs_hist_backend() -> str:
     or "xla" (ops.hash_sift.patch_sift_responses — also the CPU/interpret
     oracle).  EFF_TPU_HS_HIST overrides; like the other EFF_TPU_* kernel
     knobs it is read at TRACE time, so it only takes effect before the
-    first compile of a given pipeline signature.  Default decided by the
-    round-5 on-chip A/B (BENCH_DETAIL decisions.hs_hist_backend)."""
+    first compile of a given pipeline signature.  Default "pallas" by the
+    round-5 on-chip A/B: 5.43 vs 13.5 ms for the 40k hist+projection tail
+    (2.5x, interleaved min-of-3, 2 differing bytes of 1.3M — budget 263);
+    see BENCH_DETAIL decisions.hs_hist_backend / tools/ab_hs_hist.py."""
     import os
-    v = os.environ.get("EFF_TPU_HS_HIST", "xla")
+    v = os.environ.get("EFF_TPU_HS_HIST", "pallas")
     if v not in ("pallas", "xla"):
         raise ValueError(f"EFF_TPU_HS_HIST must be 'pallas' or 'xla', "
                          f"got {v!r}")

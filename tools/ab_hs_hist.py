@@ -61,7 +61,10 @@ def tail_xla(patches, valid, B):
     return ops_bad.pack_bits_msb(bits)
 
 
-@jax.jit
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
 def tail_pallas(patches, valid, nbits):
     desc = WK.hs_hist_from_patches(patches.reshape(-1, 1024))
     return P._hs_from_fused(desc, valid, nbits)

@@ -185,6 +185,10 @@ def main():
     reg("hs_warp40k_ms", warp, iters=6)
     reg("hs_hist40k_ms", lambda: hist(patches), iters=6)
     reg("hs_gemm40k_ms", lambda: gemm(responses), iters=6)
+    # round-5 Pallas hist kernel (hist WITHOUT the projection; the bench's
+    # hs40k_tail_* rows time hist+projection together)
+    hist_pl = jax.jit(lambda p: WK.hs_hist_from_patches(p.reshape(-1, 1024)))
+    reg("hs_hist40k_pallas_ms", lambda: hist_pl(patches), iters=6)
 
     # hist matmul precision ladder (time only; parity must be re-validated
     # before any precision drop ships)
