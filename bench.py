@@ -539,10 +539,6 @@ def decisions_dict():
         "pair/roll/noroll = 22.3/26.4/28.7 ms; 100k 49.4/55.4/56.4); "
         "single-session bench rows can rank differently under share swing "
         "— the interleaved A/B controls; EFF_TPU_BAD_FORMULATION overrides",
-        "warp_body": "round-9 on-chip A/B: select vs split TIE (24.63 vs "
-        "24.46 ms at 40k, min-of-3, 0 differing output bytes) — Mosaic "
-        "CSEs the pair-invariant builds; select stays default, "
-        "EFF_TPU_WARP_BODY=split is a tested opt-in",
         "pallas_resize": "XLA gather resize stays default (round-3 "
         "rectangular-tile pallas variant ties within noise: 22.3 vs 21.2 ms "
         "detect-4K, 65.0 vs 66.4 at 8K); round-4 healthy-share re-run "
@@ -561,15 +557,41 @@ def decisions_dict():
         "materialized (N,900)-class intermediates, and the fused kernel's "
         "earlier losses were the per-keypoint M=8 weight streams, not "
         "in-kernel hist math itself",
-        "cells_box7": "round 5 on-chip interleaved A/B (tools/"
-        "ab_cells_mxu.py, 3 passes x 16 iters, bit-identity asserted): the "
-        "MXU banded-matmul horizontal box7 WINS every pass at both sizes — "
-        "4K 4.11 vs 4.21 ms, 8K 12.01 vs 12.37 (min-of-3) — so 'mxu' is "
-        "the default (EFF_TPU_CELLS_BOX7 overrides).  The round-4 verdict's "
-        "structural question answered: moving the horizontal stencil to "
-        "the MXU buys ~3%, not a floor break — the limb build/recombine "
-        "tax eats most of the removed vector passes, as the op-count "
-        "model predicted",
+        "kernel_cache_collision": "round-5 DISCOVERY (the round's biggest "
+        "correctness event): compiled Pallas kernel binaries are cached "
+        "per process by kernel identity, NOT content — two same-name "
+        "kernel variants in one process silently share whichever binary "
+        "compiled first (proven: log-then-chain FAST variants returned "
+        "bit-identical WRONG outputs; chain alone is correct).  This "
+        "voided three recorded A/Bs (fast_run9, warp_body, the first "
+        "cells_box7 run — its 'mxu' arm compiled in 0.2 s, a cache hit "
+        "on the vpu binary) and shipped a real miscompile (see "
+        "fast_run9).  Rule: same-process A/B variants must differ in "
+        "kernel def NAME (see _fast_harris_nms_reduced_kernel_mxu) or "
+        "run in separate processes; a sub-second 'compile' of a "
+        "never-compiled variant is the tell",
+        "fast_run9": "round-5 CORRECTION: the round-9 'log' dual-field "
+        "rotate-AND form MISCOMPILES under Mosaic — its binary "
+        "deterministically misses wrap-run corners (darker=0x80FF class; "
+        "675 misses on the 200x280 tier scene, 1021 at FHD) while the "
+        "identical algebra is exhaustively correct in numpy over all "
+        "2^16 masks.  The validating round-9 A/B was void (kernel-cache "
+        "collision, above) and the compiled tier had not run between "
+        "rounds 8 and 10; caught by this round's tier-vs-oracle run.  "
+        "The rounds-1-8 two-mask 8-step chain is restored as the ONLY "
+        "form; the packed form is removed",
+        "warp_body": "round-9 'select vs split TIE, 0 differing bytes' is "
+        "VOID (kernel-cache collision — same kernel name+signature); "
+        "'select' remains the default as the rounds-tested original, "
+        "'split' stays a tested opt-in whose compiled outputs have NOT "
+        "been independently validated",
+        "cells_box7": "round 5: the first on-chip A/B (mxu 'wins' ~3%, "
+        "'bit-identical') was VOID — the mxu arm compiled in 0.2 s, a "
+        "kernel-cache hit on the vpu binary.  The mxu variant now routes "
+        "through its own kernel def name "
+        "(_fast_harris_nms_reduced_kernel_mxu) so compiles decollide; "
+        "'vpu' stays the default until a decollided A/B validates "
+        "compiled parity AND wins (EFF_TPU_CELLS_BOX7=mxu opts in)",
         "cells_halo": "round 4: column halo 128->64 (the kernel support "
         "needs only 18; 64 keeps the DMA width a 128 multiple) — standalone "
         "cells-8K A/B: 14.33 vs 17.70 ms, and detect 4K/8K dropped "

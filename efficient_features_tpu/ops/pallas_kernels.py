@@ -49,62 +49,43 @@ def _trunc_mantissa(x, drop):
 
 def _fast_corner(tap, threshold):
     """FAST-9 segment test as full-tile vector ops (cuda_fast.cu:42-166
-    semantics; the 8 KB LUT is replaced by bit algebra).
+    semantics; the 8 KB LUT is replaced by bit algebra): per mask the
+    cyclic run-of-9 test is AND_{s=0..8} rot16(mask, s) != 0 on the
+    brighter / darker indicator words.
 
-    The brighter/darker indicator bits of the 16 Bresenham-circle taps ride
-    ONE int32 word (darker in bits 16..31), and the cyclic run-of-9 test is
-    log-doubled: runs>=2 -> >=4 -> >=8 -> &rot(word,8) >= 9.  Four
-    field-wise rotate-AND steps on one word replace the 8-step rotate chain
-    on two words — ~55 fewer full-tile passes, the kernel's bounding
-    resource (SOL.md: vector-pass floor).  Bit-exact: identical Boolean
-    function to AND_{j=0..8} rot(mask, j) per mask.
-
-    EFF_TPU_FAST_RUN9=chain (trace-time) restores the two-mask 8-step
-    chain for A/B.
-    """
+    HISTORY (round 5): a "log-doubled dual-field" variant (both masks in
+    one int32, darker in bits 16..31, 4 field-wise rotate-AND steps)
+    replaced this chain in round 9 and turned out to MISCOMPILE under
+    Mosaic — its compiled binary deterministically misses corners whose
+    run WRAPS the index-0 tap (e.g. darker = 0x80FF: oracle corner, kernel
+    miss; 675 misses on the 200x280 test scene, 1021 at FHD), while the
+    same algebra is exhaustively correct in numpy/interpret over all 2^16
+    masks.  The regression shipped because the validating A/B compared the
+    two variants IN ONE PROCESS: compiled kernel binaries are cached by
+    (kernel name, signature), not content, so the second variant silently
+    re-ran the first variant's binary and measured "bit-identical"
+    (CLAUDE.md: Mosaic kernel-cache collision).  Caught by the compiled
+    TPU tier vs the oracle.  The chain below is the rounds-1-8 formulation
+    with compiled-vs-oracle parity at every size; do NOT reintroduce the
+    packed form without a decollided (renamed-kernel or cross-process)
+    compiled parity check."""
     center = tap(0, 0)
     hi = center + threshold
     lo = center - threshold
-    if S.FAST_ARC_LEN != 9 or os.environ.get("EFF_TPU_FAST_RUN9") == "chain":
-        brighter = jnp.zeros_like(center)
-        darker = jnp.zeros_like(center)
-        for bit, (dy, dx) in enumerate(S.FAST_CIRCLE):
-            v = tap(int(dy), int(dx))
-            brighter = brighter | ((v > hi).astype(jnp.int32) << bit)
-            darker = darker | ((v < lo).astype(jnp.int32) << bit)
-
-        def any_run(m):
-            acc = m
-            for s in range(1, S.FAST_ARC_LEN):
-                acc = acc & (((m >> s) | (m << (16 - s))) & 0xFFFF)
-            return acc != 0
-
-        return any_run(brighter) | any_run(darker)
-
-    word = jnp.zeros_like(center)
+    brighter = jnp.zeros_like(center)
+    darker = jnp.zeros_like(center)
     for bit, (dy, dx) in enumerate(S.FAST_CIRCLE):
         v = tap(int(dy), int(dx))
-        word = (word | ((v > hi).astype(jnp.int32) << bit)
-                | ((v < lo).astype(jnp.int32) << (bit + 16)))
+        brighter = brighter | ((v > hi).astype(jnp.int32) << bit)
+        darker = darker | ((v < lo).astype(jnp.int32) << bit)
 
-    def i32c(v):
-        v &= 0xFFFFFFFF
-        return jnp.int32(v - (1 << 32) if v >= (1 << 31) else v)
+    def any_run(m):
+        acc = m
+        for s in range(1, S.FAST_ARC_LEN):
+            acc = acc & (((m >> s) | (m << (16 - s))) & 0xFFFF)
+        return acc != 0
 
-    def rot(x, s):
-        # simultaneous cyclic rotate of both 16-bit fields: keep clears the
-        # top s bits of each field (incl. the arithmetic-shift sign smear),
-        # wrap admits exactly the s wrapped-around bits per field
-        keep = i32c((0xFFFF >> s) * 0x10001)
-        wrap = i32c((((1 << s) - 1) << (16 - s)) * 0x10001)
-        return ((x >> s) & keep) | ((x << (16 - s)) & wrap)
-
-    acc = word & rot(word, 1)          # cyclic runs >= 2
-    acc = acc & rot(acc, 2)            # >= 4
-    acc = acc & rot(acc, 4)            # >= 8
-    acc = acc & rot(word, 8)           # >= 9
-    # any bit set in either field == run9(brighter) | run9(darker)
-    return acc != 0
+    return any_run(brighter) | any_run(darker)
 
 
 # ---------------------------------------------------------------------------
@@ -649,6 +630,18 @@ def _box7_mxu(m, eh, ew, gh2, bands):
 # the dense path, keeping selection bit-exact for every input.
 
 
+def _fast_harris_nms_reduced_kernel_mxu(*args, **kw):
+    """Distinctly-NAMED alias for the box7_kind='mxu' cells kernel.
+
+    Compiled kernel binaries are cached by (kernel name, signature), not
+    content (CLAUDE.md: Mosaic kernel-cache collision — the round-5 mxu
+    A/B initially "compiled" in 0.2 s and silently re-ran the vpu binary).
+    Routing the mxu variant through its own def gives it its own cache
+    identity so same-process A/Bs and the compiled-tier parity test
+    exercise the real binary."""
+    return _fast_harris_nms_reduced_kernel(*args, **kw)
+
+
 def _fast_harris_nms_reduced_kernel(dims_ref, *refs,
                                     threshold, radius, tile_h, tile_w,
                                     halo_y, halo_x, with_mask=False,
@@ -784,16 +777,15 @@ def fast_harris_nms_cells(image: jax.Array, threshold: int, radius: int,
     `halo_x` (static; A/B knob): column-halo width override, must be >= the
     kernel support and keep tile_w + 2*halo_x a 128 multiple.
 
-    `box7_kind` (static; A/B knob): "mxu" (default; round-5 on-chip A/B)
-    or "vpu" — horizontal box7 backend (see _box7_mxu); None reads
-    EFF_TPU_CELLS_BOX7 at trace time.  Bit-identical outputs."""
+    `box7_kind` (static; A/B knob): "vpu" (default) or "mxu" — horizontal
+    box7 backend (see _box7_mxu); None reads EFF_TPU_CELLS_BOX7 at trace
+    time.  Bit-identical outputs BY ALGEBRA; the round-5 first A/B of the
+    mxu form was VOID (kernel-cache collision re-ran the vpu binary —
+    see _fast_harris_nms_reduced_kernel_mxu), so mxu stays opt-in until
+    the decollided A/B both validates compiled parity and wins."""
     h, w = image.shape
     if box7_kind is None:
-        # "mxu" default: round-5 on-chip interleaved A/B (tools/
-        # ab_cells_mxu.py) — mxu wins every pass at both sizes (4K 4.11
-        # vs 4.21 ms, 8K 12.01 vs 12.37, min-of-3), bit-identical; see
-        # BENCH_DETAIL decisions.cells_box7
-        box7_kind = os.environ.get("EFF_TPU_CELLS_BOX7", "mxu")
+        box7_kind = os.environ.get("EFF_TPU_CELLS_BOX7", "vpu")
     if box7_kind not in ("vpu", "mxu"):
         raise ValueError(f"box7_kind must be 'vpu' or 'mxu', got "
                          f"{box7_kind!r}")
@@ -838,7 +830,9 @@ def fast_harris_nms_cells(image: jax.Array, threshold: int, radius: int,
                                          lambda i, j, *_: (0, 0),
                                          memory_space=pltpu.VMEM))
 
-    kernel = functools.partial(_fast_harris_nms_reduced_kernel,
+    kernel_fn = (_fast_harris_nms_reduced_kernel_mxu if box7_kind == "mxu"
+                 else _fast_harris_nms_reduced_kernel)
+    kernel = functools.partial(kernel_fn,
                                threshold=threshold, radius=radius,
                                tile_h=tile_h, tile_w=tile_w,
                                halo_y=halo_y, halo_x=halo_x,

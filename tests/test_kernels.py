@@ -33,6 +33,39 @@ def test_fast_harris_kernel_bit_exact(img):
     np.testing.assert_array_equal(expect, got)
 
 
+def test_fast_wrap_run_corner():
+    """FAST-9 arc WRAPPING the index-0 tap (darker bits 15,0..7 class).
+
+    Regression guard for the round-5 miscompile: a packed dual-field
+    log-doubled run-9 form shipped in round 9 whose COMPILED binary
+    missed every wrap-run corner (interpret/numpy were exhaustively
+    correct, and the validating A/B was voided by the kernel-binary
+    cache collision — see CLAUDE.md).  This pins the exact failure
+    class; it must pass compiled (-m tpu re-collection), not just
+    interpreted."""
+    from efficient_features_tpu.utils import semantics as S
+
+    img = np.full((48, 64), 160, np.uint8)
+    cy, cx = 24, 32
+    # darken exactly 9 circle taps spanning the index wrap: 12..15, 0..4
+    for idx in list(range(12, 16)) + list(range(0, 5)):
+        dy, dx = S.FAST_CIRCLE[idx]
+        img[cy + dy, cx + dx] = 100
+    corner = R.fast_corner_mask(img, 20)
+    assert corner[cy, cx], "oracle must see the wrap-run corner"
+    expect = np.where(corner & _border(img.shape), R.harris_response(img),
+                      np.float32(-np.inf))
+    got = np.asarray(PK.fast_harris(jnp.asarray(img), 20))
+    assert np.isfinite(got[cy, cx]), "compiled kernel missed the wrap run"
+    np.testing.assert_array_equal(expect, got)
+
+
+def _border(shape):
+    b = np.zeros(shape, bool)
+    b[15:-15, 15:-15] = True
+    return b
+
+
 def test_nms_kernel_bit_exact(img):
     h, w = img.shape
     border = np.zeros((h, w), bool)
@@ -441,10 +474,16 @@ def test_disc_max_band_ladder_bit_exact():
 
 
 def test_cells_box7_mxu_bit_identical(img):
-    """Round-5 verdict A/B: the MXU horizontal box7 (banded one-hot bf16
-    matmuls on a 3-limb base-256 decomposition, exact by construction —
-    see PK._box7_mxu) must be bit-identical to the vpu slice+add chain,
-    masked and unmasked.  Any 1-ulp drift is a limb/recombine bug."""
+    """The opt-in MXU horizontal box7 (banded one-hot bf16 matmuls on a
+    3-limb base-256 decomposition, exact by construction — see
+    PK._box7_mxu) must be bit-identical to the vpu slice+add chain,
+    masked and unmasked.  Any 1-ulp drift is a limb/recombine bug.
+
+    Compiled (-m tpu) this is only sound because the mxu variant routes
+    through its own kernel def name (the kernel-binary cache collision,
+    CLAUDE.md): with a shared name the second variant would silently
+    re-run the first's binary and this test would compare a binary with
+    itself."""
     im = jnp.asarray(img)
     a = PK.fast_harris_nms_cells(im, 20, 15, None, None, "vpu")
     b = PK.fast_harris_nms_cells(im, 20, 15, None, None, "mxu")

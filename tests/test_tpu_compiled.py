@@ -25,6 +25,7 @@ from efficient_features_tpu import pipeline as P
 from test_kernels import (  # noqa: F401
     img,
     test_fast_harris_kernel_bit_exact,
+    test_fast_wrap_run_corner,
     test_nms_kernel_bit_exact,
     test_bad_window_kernel_exact,
     test_bad_window_kernel_pixel_extremes,
