@@ -269,6 +269,39 @@ def build_metrics():
                 P.compute_jit(img4k, kps_j, valid, bits, kind, 1.0, True),
             8, base, bound, sol))
 
+    # batched throughput scaling (round-4 verdict #6) — EARLY since round
+    # 5: the first 1140-s driver-budget run exhausted its wall on
+    # executable loads before reaching these, and the frames/s crossover
+    # curve is the round's priority evidence, so they run right after the
+    # single-frame compute rows
+    bmesh = SHm.make_mesh(1)
+    bcfg = P.FeatureConfig(nfeatures=4000, descriptor_type="bad_256")
+    for nb in (4, 8, 16):
+        batch = jnp.stack([images["fhd"]] * nb)
+        metrics.append(M(
+            f"batch{nb}_fhd",
+            lambda batch=batch: SHm.detect_and_compute_batch(batch, bcfg,
+                                                             bmesh),
+            8, None, "vpu", None))
+    bcfg4k = P.FeatureConfig(nfeatures=10000, descriptor_type="bad_256")
+    for nb in (4, 8):
+        batch = jnp.stack([images["4k"]] * nb)
+        metrics.append(M(
+            f"batch{nb}_4k",
+            lambda batch=batch: SHm.detect_and_compute_batch(batch, bcfg4k,
+                                                             bmesh),
+            8, None, "vpu", None))
+
+    # streaming fused Pallas matcher (the shipped TPU default; the dense
+    # XLA A/B row is optional, below)
+    rngm = np.random.default_rng(11)
+    dm1 = jnp.asarray(rngm.integers(0, 256, (16384, 64), dtype=np.uint8))
+    dm2 = jnp.asarray(rngm.integers(0, 256, (16384, 64), dtype=np.uint8))
+    metrics.append(M("match16k_512_fused",
+                     lambda: Mm.knn2_ratio_match_fused(dm1, dm2, 0.8), 8,
+                     None, "mxu_bf16", 3.4,
+                     decision="fused_matcher"))
+
     # remaining detectAndCompute descriptors
     for dt in ("bad_512", "hash_sift_256", "hash_sift_512"):
         base, sol = baselines_dac[dt]
@@ -363,38 +396,6 @@ def build_metrics():
             f"cells_8k_halo{hx or 64}",
             lambda hx=hx: PKm.fast_harris_nms_cells(img8k, 20, 15, None, hx),
             16, None, "hbm", None, decision="cells_halo"))
-
-    # batched throughput scaling (round-4 verdict #6): frames inside ONE
-    # executable (lax.map on a single-device mesh) — per-frame cost
-    # amortizes dispatch overhead; the TPU's honest win is throughput, so
-    # record the frames/s curve vs the RTX single-stream baseline
-    bmesh = SHm.make_mesh(1)
-    bcfg = P.FeatureConfig(nfeatures=4000, descriptor_type="bad_256")
-    for nb in (4, 8, 16):
-        batch = jnp.stack([images["fhd"]] * nb)
-        metrics.append(M(
-            f"batch{nb}_fhd",
-            lambda batch=batch: SHm.detect_and_compute_batch(batch, bcfg,
-                                                             bmesh),
-            8, None, "vpu", None))
-    bcfg4k = P.FeatureConfig(nfeatures=10000, descriptor_type="bad_256")
-    for nb in (4, 8):
-        batch = jnp.stack([images["4k"]] * nb)
-        metrics.append(M(
-            f"batch{nb}_4k",
-            lambda batch=batch: SHm.detect_and_compute_batch(batch, bcfg4k,
-                                                             bmesh),
-            8, None, "vpu", None))
-
-    # streaming fused Pallas matcher (the shipped TPU default; the dense
-    # XLA A/B row is optional, below)
-    rngm = np.random.default_rng(11)
-    dm1 = jnp.asarray(rngm.integers(0, 256, (16384, 64), dtype=np.uint8))
-    dm2 = jnp.asarray(rngm.integers(0, 256, (16384, 64), dtype=np.uint8))
-    metrics.append(M("match16k_512_fused",
-                     lambda: Mm.knn2_ratio_match_fused(dm1, dm2, 0.8), 8,
-                     None, "mxu_bf16", 3.4,
-                     decision="fused_matcher"))
 
     # ------------------------------------------------------------------
     # Optional rows (skipped first under the time budget): A/Bs whose

@@ -1021,6 +1021,16 @@ _WARP_CW = 64
 _WARP_BODY = os.environ.get("EFF_TPU_WARP_BODY", "select")
 
 
+def _warp_kernel_split(*args, **kw):
+    """Distinctly-NAMED alias for the body_kind='split' warp kernel:
+    compiled kernel binaries are cached per process by kernel identity
+    (CLAUDE.md kernel-cache collision), so without its own def name a
+    same-process select/split A/B or bit-identity test silently re-runs
+    whichever binary compiled first — the round-9 'TIE, 0 differing
+    bytes' A/B was void for exactly this reason."""
+    return _warp_kernel(*args, **kw)
+
+
 def _warp_kernel(by_ref, bx_ref, meta_ref, nstart_ref, kp_ref,
                  img_hbm, out_ref, win_ref, winbf_ref, sem, *,
                  img_w, img_h, body_kind=_WARP_BODY):
@@ -1249,8 +1259,9 @@ def _warp_patches_windows_impl(image, x, y, size, angle, valid,
     meta = ((grp & 1) | (start << 1)).astype(jnp.int32)
     kp = _affine_block(kx, ky, ks, ka, cropping_scale)
 
-    kernel = functools.partial(_warp_kernel, img_w=w, img_h=h,
-                               body_kind=body_kind)
+    kernel = functools.partial(
+        _warp_kernel_split if body_kind == "split" else _warp_kernel,
+        img_w=w, img_h=h, body_kind=body_kind)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
