@@ -586,13 +586,18 @@ def decisions_dict():
         "'select' remains the default as the rounds-tested original, "
         "'split' stays a tested opt-in whose compiled outputs have NOT "
         "been independently validated",
-        "cells_box7": "round 5: the first on-chip A/B (mxu 'wins' ~3%, "
-        "'bit-identical') was VOID — the mxu arm compiled in 0.2 s, a "
-        "kernel-cache hit on the vpu binary.  The mxu variant now routes "
-        "through its own kernel def name "
-        "(_fast_harris_nms_reduced_kernel_mxu) so compiles decollide; "
-        "'vpu' stays the default until a decollided A/B validates "
-        "compiled parity AND wins (EFF_TPU_CELLS_BOX7=mxu opts in)",
+        "cells_box7": "round 5, DECIDED by the decollided A/B (the first "
+        "run was void — its mxu arm 'compiled' in 0.2 s, a kernel-cache "
+        "hit on the vpu binary; rerun after routing mxu through its own "
+        "kernel def name, real 27/23 s compiles): compiled outputs "
+        "bit-identical to vpu at both sizes, timing a size-split WASH — "
+        "4K mxu 4.53 vs vpu 4.66 ms (mxu +3% every pass), 8K mxu 13.35 "
+        "vs vpu 13.14 (vpu +1.6%) — so 'vpu' stays the default and "
+        "EFF_TPU_CELLS_BOX7=mxu is a validated opt-in.  This closes the "
+        "round-4 verdict's structural question with data: riding the "
+        "idle MXU does NOT break the vector-pass floor; the limb "
+        "build/recombine tax eats the removed horizontal passes, as the "
+        "op-count model predicted",
         "cells_halo": "round 4: column halo 128->64 (the kernel support "
         "needs only 18; 64 keeps the DMA width a 128 multiple) — standalone "
         "cells-8K A/B: 14.33 vs 17.70 ms, and detect 4K/8K dropped "
