@@ -581,11 +581,12 @@ def decisions_dict():
         "rounds 8 and 10; caught by this round's tier-vs-oracle run.  "
         "The rounds-1-8 two-mask 8-step chain is restored as the ONLY "
         "form; the packed form is removed",
-        "warp_body": "round-9 'select vs split TIE, 0 differing bytes' is "
-        "VOID (kernel-cache collision — same kernel name+signature); "
-        "'select' remains the default as the rounds-tested original, "
-        "'split' stays a tested opt-in whose compiled outputs have NOT "
-        "been independently validated",
+        "warp_body": "round-9 'select vs split TIE' was void (kernel-cache "
+        "collision); round-5 DECOLLIDED rerun (split via its own kernel "
+        "def name _warp_kernel_split): genuinely 0 differing bytes "
+        "compiled and a timing tie (select 29.0 vs split 28.6 ms at 40k, "
+        "overlapping passes) — select stays default, EFF_TPU_WARP_BODY="
+        "split is a validated opt-in",
         "cells_box7": "round 5, DECIDED by the decollided A/B (the first "
         "run was void — its mxu arm 'compiled' in 0.2 s, a kernel-cache "
         "hit on the vpu binary; rerun after routing mxu through its own "
