@@ -616,12 +616,20 @@ def knn2_match_sharded(desc1: jax.Array, valid1: jax.Array,
     v1 = jnp.pad(valid1.astype(bool), (0, n1p - n1))
     d2 = jnp.pad(desc2, ((0, n2p - n2), (0, 0)))
     v2 = jnp.pad(valid2.astype(bool), (0, n2p - n2))
-    j, best, ok = _match_sharded_jit(mesh, float(max_ratio))(d1, v1, d2, v2)
+    from ..ops import matcher as OM
+    # EFF_TPU_MATCH_QB resolved HERE, in the un-jitted entry, and threaded
+    # through the lru_cache key — inside shard_map the env read would bind
+    # at first trace only (the round-4 advisor finding, which the matcher
+    # entry points already fix; this path regressed when _fused_topk2's
+    # default became a fixed 1024)
+    qb = OM._resolve_qb(None)
+    j, best, ok = _match_sharded_jit(mesh, float(max_ratio), qb)(d1, v1,
+                                                                 d2, v2)
     return j[:n1], best[:n1], ok[:n1]
 
 
 @functools.lru_cache(maxsize=None)
-def _match_sharded_jit(mesh: Mesh, max_ratio: float):
+def _match_sharded_jit(mesh: Mesh, max_ratio: float, qb: int = 1024):
     from ..ops import matcher as OM
 
     axis = mesh.axis_names[0]
@@ -632,10 +640,10 @@ def _match_sharded_jit(mesh: Mesh, max_ratio: float):
         v1f = jax.lax.all_gather(v1, axis, tiled=True)
         d2f = jax.lax.all_gather(d2, axis, tiled=True)
         v2f = jax.lax.all_gather(v2, axis, tiled=True)
-        j, bdot, sdot = OM._fused_topk2(d1, d2f, v2f)
+        j, bdot, sdot = OM._fused_topk2(d1, d2f, v2f, qb=qb)
         best = OM._dot_to_hamming(bdot, nbits)
         second = OM._dot_to_hamming(sdot, nbits)
-        ib, _, _ = OM._fused_topk2(d2, d1f, v1f)
+        ib, _, _ = OM._fused_topk2(d2, d1f, v1f, qb=qb)
         i_back = jax.lax.all_gather(ib, axis, tiled=True)
         off = jax.lax.axis_index(axis) * d1.shape[0]
         ratio_ok = (best.astype(jnp.float32)

@@ -46,14 +46,18 @@ def main():
     det_cfg = P.FeatureConfig(nfeatures=10000, descriptor_type="bad_256")
     dac_cfg = P.FeatureConfig(nfeatures=40000, descriptor_type="bad_256")
 
-    # compute-only protocol keypoints (must match bench.py exactly so the
-    # *_trace_ms columns reconcile the same executables)
+    # compute-only protocol keypoints — the SAME rng(1) draws in the same
+    # order as bench.py:248-254 (x, y, then angle; angle=0 here would
+    # trace executables on different keypoint data than the bench rows
+    # the *_trace_ms columns claim to anchor)
     rng = np.random.default_rng(1)
     n = 40960
-    kx = jnp.asarray(rng.uniform(20, 3840 - 20, n).astype(np.float32))
-    ky = jnp.asarray(rng.uniform(20, 2160 - 20, n).astype(np.float32))
-    kps = jnp.stack([kx, ky, jnp.full((n,), 31.0), jnp.zeros((n,))], axis=1)
-    kps = kps.astype(jnp.float32)
+    kps_np = np.zeros((n, 4), np.float32)
+    kps_np[:, 0] = rng.uniform(20, 3840 - 20, n)
+    kps_np[:, 1] = rng.uniform(20, 2160 - 20, n)
+    kps_np[:, 2] = 31.0
+    kps_np[:, 3] = rng.uniform(0, 360, n)
+    kps = jnp.asarray(kps_np)
     valid = jnp.ones(n, bool)
 
     # phases keyed by the bench.py metric name (tools/parse_trace.py maps

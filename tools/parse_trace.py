@@ -57,9 +57,45 @@ def parse(path):
     def mod_base(name):
         return re.sub(r"\(\d+\)$", "", name)
 
-    inst = defaultdict(list)          # base -> [(ts, dur_us)]
+    # host TraceAnnotation spans, up-front: they disambiguate module
+    # instances whose jit functions share a Python name (compute_jit runs
+    # for both BAD and HS — pooling them made per_iter_ms a bimodal
+    # mixture and divided each op total by the combined count) and later
+    # provide the per-metric mapping
+    ann_pat = re.compile(r"^[a-z0-9_]+$")
+    host_spans = [e for e in ev
+                  if e.get("ph") == "X"
+                  and thread(e) not in ("XLA Modules", "XLA Ops",
+                                        "Async XLA Ops")
+                  and ann_pat.match(e.get("name", ""))
+                  and e.get("dur", 0) > 1000]
+
+    def ann_of(ts, dur):
+        for a in host_spans:
+            if ts >= a["ts"] and ts + dur <= a["ts"] + a["dur"]:
+                return a["name"]
+        return None
+
+    grouped = defaultdict(list)       # (base, ann) -> [(ts, dur_us)]
     for e in mods:
-        inst[mod_base(e["name"])].append((e["ts"], e["dur"]))
+        grouped[(mod_base(e["name"]), ann_of(e["ts"], e["dur"]))].append(
+            (e["ts"], e["dur"]))
+    anns_per_base = defaultdict(set)
+    for (base, ann) in grouped:
+        anns_per_base[base].add(ann)
+    # an instance straddling its annotation boundary (warm-up iteration)
+    # maps to ann None; fold it into the base's unique real annotation
+    for base, anns in anns_per_base.items():
+        real = anns - {None}
+        if None in anns and len(real) == 1:
+            grouped[(base, next(iter(real)))].extend(
+                grouped.pop((base, None)))
+            anns.discard(None)
+    inst = defaultdict(list)          # display key -> [(ts, dur_us)]
+    for (base, ann), rows in grouped.items():
+        key = (base if len(anns_per_base[base]) == 1
+               else f"{base}[{ann or 'unannotated'}]")
+        inst[key].extend(rows)
 
     modules = {}
     for base, rows in inst.items():
@@ -109,20 +145,11 @@ def parse(path):
                     "iteration (share-free, unlike wall-clock bench rows)")}
 
     # map bench metric keys onto modules via the capture's TraceAnnotations
-    # (host-thread spans; device module timestamps share the timebase):
-    # each annotation owns the module instances fully inside it, and two
-    # jit functions with the same Python name (e.g. compute_jit for BAD
-    # and HS) stay distinguishable.
+    # (host_spans above; device module timestamps share the timebase):
+    # each annotation owns the module instances fully inside it.
     # TraceAnnotation names are snake_case metric keys; runtime-internal
     # host spans ($file.py:line, PjitFunction(...), np.asarray(...)) are
     # excluded by the identifier-only pattern
-    ann_pat = re.compile(r"^[a-z0-9_]+$")
-    host_spans = [e for e in ev
-                  if e.get("ph") == "X"
-                  and thread(e) not in ("XLA Modules", "XLA Ops",
-                                        "Async XLA Ops")
-                  and ann_pat.match(e.get("name", ""))
-                  and e.get("dur", 0) > 1000]
     out["metrics"] = {}
     for a in host_spans:
         key = ANN_ALIASES.get(a["name"], a["name"])

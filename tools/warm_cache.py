@@ -5,9 +5,11 @@ round-end run hit a cold cache and the large pipeline signatures compile
 for minutes each through the tunneled dev toolchain (one matcher shape
 took 892 s cold).  Running this tool mid-session populates
 ``.xla_cache/tpu`` — TPU executables are serialized device code
-(host-portable, unlike XLA:CPU AOT blobs; utils/compile_cache.py) — and
-the cache directory is COMMITTED so the driver's round-end ``python
-bench.py`` only ever loads.
+(host-portable, unlike XLA:CPU AOT blobs; utils/compile_cache.py).  The
+cache directory is NOT committed (multi-GB; .gitignore) — it persists on
+the build machine's disk between rounds, which is where the driver's
+round-end ``python bench.py`` runs; a fresh clone on a new machine must
+re-run this tool once before benching.
 
 Usage:  python tools/warm_cache.py [--budget-s N]
 
